@@ -1,0 +1,13 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip sharding
+(`gaml_tpu.parallel`) is exercised without TPU hardware.
+
+Must run before jax initializes a backend, hence top-level env mutation.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
