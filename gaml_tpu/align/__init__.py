@@ -1,0 +1,1 @@
+from .aligner import Alignment, SubpathAligner

@@ -1,0 +1,139 @@
+"""Subpath alignment: candidate generation + extension backend dispatch.
+
+Mirrors the reference's internal aligner (AlignSubpathInternal,
+graph.cc:839-899):
+
+1. spell the node-window sequence, trimming long first/last nodes to the
+   300 bp that can overlap a junction (offset bookkeeping, graph.cc:846-857);
+2. query the max-hash index for candidate (read, signed seed pos) pairs;
+3. for each candidate, locate the seed 15-mer in the (possibly
+   reverse-complemented) read and run the banded extension;
+4. collect alignments, dedup by (position, read_id) keeping the first
+   (reference: set<Aligment> insert, graph.cc:895-897), sorted output.
+
+The extension step is pluggable: the "bfs" backend is the exact host oracle
+(align.bfs); the "device" backend batches all candidates into the Pallas/JAX
+banded-extend kernel (ops.extend) and falls back to the oracle only for
+off-band corner cases.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Sequence, Tuple
+
+import numpy as np
+
+from ..core import dna
+from ..index.maxhash import K_INDEX_KMER, ReadIndexMaxHash
+from . import bfs
+
+K_MIN_SUBPATH_LENGTH = 300  # reference kMinSubpathLength (graph.cc:27)
+
+
+class Alignment(NamedTuple):
+    position: int
+    edit_dist: int
+    read_id: int
+    orientation: int  # 0 = forward, 1 = reverse-complement hit
+
+
+class Candidate(NamedTuple):
+    read_id: int
+    genome_pos: int  # seed k-mer start in window coordinates
+    read_pos: int    # seed k-mer start in (oriented) read coordinates
+    orientation: int
+
+
+def spell_subpath(graph, path: Sequence[int]) -> Tuple[np.ndarray, int]:
+    """Window sequence + coordinate offset (graph.cc:846-857)."""
+    parts = []
+    offset = 0
+    n = len(path)
+    for i, e in enumerate(path):
+        s = graph.seqs[e]
+        if i == 0 and n > 1 and len(s) > K_MIN_SUBPATH_LENGTH:
+            offset = len(s) - K_MIN_SUBPATH_LENGTH
+            parts.append(s[offset:])
+        elif i > 0 and len(s) > K_MIN_SUBPATH_LENGTH and i + 1 == n:
+            parts.append(s[:K_MIN_SUBPATH_LENGTH])
+        else:
+            parts.append(s)
+    return (np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)), offset
+
+
+def find_seed_in_read(read: np.ndarray, seq: np.ndarray, genome_pos: int) -> int:
+    """First read position whose 15-mer equals the window 15-mer at
+    genome_pos (reference scan, graph.cc:873-884)."""
+    k = K_INDEX_KMER
+    target = seq[genome_pos:genome_pos + k]
+    n = len(read) - k + 1
+    for i in range(n):
+        if np.array_equal(read[i:i + k], target):
+            return i
+    return -1
+
+
+def gen_candidates(index: ReadIndexMaxHash, read_seqs: Dict[int, np.ndarray],
+                   seq: np.ndarray) -> List[Tuple[Candidate, np.ndarray]]:
+    """Candidates in deterministic order (read_id asc, hit order).  The
+    reference iterates an unordered_map (platform-defined order) — order only
+    affects which duplicate wins the (position, read_id) dedup."""
+    cands = index.get_read_cands_with_poses(seq)
+    out: List[Tuple[Candidate, np.ndarray]] = []
+    for rid in sorted(cands):
+        for e2 in cands[rid]:
+            if e2 > 0:
+                genome_pos = e2 - K_INDEX_KMER + 1
+                read = read_seqs[rid]
+                orient = 0
+            else:
+                genome_pos = len(seq) + e2 - 1
+                read = dna.revcomp(read_seqs[rid])
+                orient = 1
+            read_pos = find_seed_in_read(read, seq, genome_pos)
+            assert read_pos != -1, "max-hash candidate without exact seed"
+            out.append((Candidate(rid, genome_pos, read_pos, orient), read))
+    return out
+
+
+class SubpathAligner:
+    """Alignment engine over node-window subpaths."""
+
+    def __init__(self, index: ReadIndexMaxHash, read_seqs: Dict[int, np.ndarray],
+                 backend: str = "bfs"):
+        self.index = index
+        self.read_seqs = read_seqs
+        self.backend = backend
+        self._device = None
+
+    def _extend_all(self, seq: np.ndarray,
+                    cands: List[Tuple[Candidate, np.ndarray]]):
+        """Run the banded extension for every candidate; returns a list of
+        (ok, errs, begin_pos) aligned with cands."""
+        if self.backend == "device" and cands:
+            from ..ops.extend import batch_extend_host
+            return batch_extend_host(seq, cands)
+        out = []
+        for cand, read in cands:
+            res = bfs.process_hit(cand.genome_pos, cand.read_pos, read, seq)
+            if res is None:
+                out.append((False, -1, -1))
+            else:
+                errs, begin, _end = res
+                out.append((True, errs, begin))
+        return out
+
+    def align_subpath(self, graph, path: Sequence[int]) -> List[Alignment]:
+        seq, offset = spell_subpath(graph, path)
+        if len(seq) < self.index.read_len or self.index.read_len == 0:
+            return []
+        cands = gen_candidates(self.index, self.read_seqs, seq)
+        results = self._extend_all(seq, cands)
+        current: Dict[Tuple[int, int], Alignment] = {}
+        for (cand, _read), (ok, errs, begin) in zip(cands, results):
+            if not ok:
+                continue
+            al = Alignment(begin + 1 + offset, errs, cand.read_id, cand.orientation)
+            key = (al.position, al.read_id)
+            if key not in current:  # set<Aligment>: first insert wins
+                current[key] = al
+        return [current[k] for k in sorted(current)]

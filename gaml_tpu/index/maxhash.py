@@ -1,0 +1,130 @@
+"""Max-hash read fingerprint index.
+
+Despite the reference's "MinHash" naming, the fingerprint is the *maximum*
+over a read's 2-bit-packed 15-mers of ``kmer ^ 0x2204abcd``
+(reference: graph.cc:1243-1269).  The hash is injective, so fingerprint
+equality implies the two sequences share that exact k-mer.
+
+Index build: fingerprint(read) -> [read ids]  (graph.cc:1280-1287; reads
+containing non-ACGT are skipped, and the uniform read length is remembered).
+
+Query: slide a read-length window over the genome; for each window take the
+max hash and its (first-on-tie) k-mer end position via a monotonic deque;
+collapse runs of equal fingerprints (graph.cc:1289-1323).  Hits against the
+reverse-complement strand are queried on the reverse-complemented genome and
+reported as negative positions (graph.cc:1338-1347).
+
+This module is the numpy implementation; ``gaml_tpu.native`` provides a C++
+drop-in used when built (same outputs, bit-for-bit).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..core import dna
+
+K_INDEX_KMER = 15  # reference kIndexKmer (graph.cc:33)
+HASH_XOR = np.uint64(0x2204ABCD)  # reference Hash (graph.cc:1243-1252)
+
+_KMER_MASK = np.uint64((1 << (2 * K_INDEX_KMER)) - 1)
+
+
+def pack_kmers(codes: np.ndarray, k: int = K_INDEX_KMER) -> np.ndarray:
+    """2-bit pack every k-mer of an encoded sequence (big-endian in the low
+    2k bits, first base most significant) — matching the reference's rolling
+    ``curhash = curhash<<2 | trans[c]``.
+
+    Non-ACGT codes (CODE_N=4) contribute bits of 0 (= 'G'), which is what the
+    reference's trans table does for any byte it never initialized to a
+    nonzero value; reads with Ns never enter the index anyway
+    (graph.cc:1280-1283).
+    """
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    vals = np.where(codes < 4, codes, 0).astype(np.uint64)
+    # prefix "polynomial" with base 4 via cumulative shifts
+    out = np.zeros(n, dtype=np.uint64)
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc << np.uint64(2)) | vals[j:j + n]
+    out = acc & _KMER_MASK
+    return out
+
+
+def hash_kmers(kmers: np.ndarray) -> np.ndarray:
+    return kmers ^ HASH_XOR
+
+
+def maxhash_of_read(codes: np.ndarray) -> int:
+    """Fingerprint of a full read (reference GetMinHashForSeq,
+    graph.cc:1254-1269).  Note the reference seeds its running max with 0, so
+    the result is max(0, max hashes) — hashes are always > 0 in practice."""
+    h = hash_kmers(pack_kmers(codes))
+    if len(h) == 0:
+        return 0
+    return int(max(np.uint64(0), h.max()))
+
+
+def window_max_fingerprints(codes: np.ndarray, read_len: int) -> List[Tuple[int, int]]:
+    """All (fingerprint, kmer_end_pos) for read-length windows of a genome,
+    with runs of equal fingerprints collapsed (reference GetMinHashWithPoses,
+    graph.cc:1289-1323).  Position is the *end* index of the max k-mer; on
+    ties the earliest k-mer wins (strict-less pop in the reference deque)."""
+    k = K_INDEX_KMER
+    if len(codes) < k or len(codes) < read_len:
+        return []
+    h = hash_kmers(pack_kmers(codes, k))  # h[j] is kmer ending at j+k-1
+    w = read_len - k + 1  # kmers per window
+    if w <= 0:
+        return []
+    # window ending at genome index i covers kmer-end positions [i-w+1 .. i]
+    # -> kmer array slice [i-read_len+1 .. i-k+1] (0-based kmer start idx)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(h, w)  # wins[s] = h[s:s+w]
+    maxv = wins.max(axis=1)
+    argm = wins.argmax(axis=1)  # first max on ties — matches deque
+    out: List[Tuple[int, int]] = []
+    last = None
+    for s in range(len(wins)):
+        mh = int(maxv[s])
+        if last is None or mh != last:
+            # kmer index s+argm -> end position s+argm+k-1
+            out.append((mh, int(s + argm[s] + k - 1)))
+            last = mh
+    return out
+
+
+class ReadIndexMaxHash:
+    """Fingerprint -> read-id lists, plus the query machinery."""
+
+    def __init__(self):
+        self.index: Dict[int, List[int]] = {}
+        self.read_len: int = 0
+
+    def add_read(self, codes: np.ndarray, read_id: int) -> None:
+        if not dna.is_acgt(codes):
+            return
+        self.index.setdefault(maxhash_of_read(codes), []).append(read_id)
+        self.read_len = len(codes)
+
+    def get_read_cands_with_poses(self, seq_codes: np.ndarray) -> Dict[int, List[int]]:
+        """read_id -> list of signed seed positions (k-mer end index;
+        negative = hit against the reverse-complement strand, in
+        reverse-strand coordinates) — reference GetReadCandsWithPoses
+        (graph.cc:1325-1348)."""
+        cands: Dict[int, List[int]] = {}
+        for mh, pos in window_max_fingerprints(seq_codes, self.read_len):
+            for rid in self.index.get(mh, ()):
+                cands.setdefault(rid, []).append(pos)
+        rc = dna.revcomp(seq_codes)
+        for mh, pos in window_max_fingerprints(rc, self.read_len):
+            for rid in self.index.get(mh, ()):
+                cands.setdefault(rid, []).append(-pos)
+        return cands
+
+    def size_info(self) -> Tuple[int, int]:
+        return len(self.index), sum(1 + len(v) for v in self.index.values())

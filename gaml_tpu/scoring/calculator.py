@@ -1,0 +1,71 @@
+"""Multi-readset likelihood combiner.
+
+Reference ProbCalculator (prob_calculator.h:37-124): the assembly score is
+the weighted sum over read sets — single sets via the full single scorer,
+paired sets via the incremental scorer (one persistent ScoringState each),
+PacBio sets via the banded-forward scorer.  ``zeros`` collects
+(floored_read_count, n_reads) per set.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from .config import PairedReadConfig, SingleReadConfig
+from .paired import ScoringState, calc_score_for_paths_incremental
+from .single import calc_score_for_paths_single
+
+
+class ProbCalculator:
+    def __init__(self, single_reads, paired_reads, pacbio_reads, graph):
+        """single_reads: [(SingleReadConfig, ReadSet)];
+        paired_reads: [(PairedReadConfig, (ReadSet, ReadSet))];
+        pacbio_reads: [(SingleReadConfig, PacbioReadSet)]."""
+        self.single_reads = list(single_reads)
+        self.paired_reads = list(paired_reads)
+        self.pacbio_reads = list(pacbio_reads)
+        self.graph = graph
+        self.paired_scoring_states = [ScoringState() for _ in self.paired_reads]
+
+    def calc_prob(self, paths: Sequence[Sequence[int]],
+                  zeros: Optional[List[Tuple[int, int]]] = None):
+        """Returns (score, total_len); fills ``zeros`` if given
+        (prob_calculator.h:63-109)."""
+        if zeros is not None:
+            zeros.clear()
+        prob = 0.0
+        total_len = 0
+        for cfg, rs in self.single_reads:
+            score, zero, total_len = calc_score_for_paths_single(
+                self.graph, paths, rs,
+                no_cov_penalty=cfg.penalty_constant, exp_cov_move=cfg.step,
+                min_prob_per_base=cfg.min_prob_per_base,
+                min_prob_start=cfg.min_prob_start)
+            prob += score * cfg.weight
+            if zeros is not None:
+                zeros.append((zero, rs.get_number_of_reads()))
+        for ind, (cfg, (rs1, rs2)) in enumerate(self.paired_reads):
+            score, zero, total_len = calc_score_for_paths_incremental(
+                self.graph, paths, rs1, rs2, cfg.insert_mean, cfg.insert_std,
+                self.paired_scoring_states[ind],
+                no_cov_penalty=cfg.penalty_constant, exp_cov_move=cfg.step,
+                use_all_to_cov=True,
+                min_prob_per_base=cfg.min_prob_per_base,
+                min_prob_start=cfg.min_prob_start)
+            prob += score * cfg.weight
+            if zeros is not None:
+                zeros.append((zero, rs1.get_number_of_reads()))
+        for cfg, rs in self.pacbio_reads:
+            from .pacbio_score import calc_score_for_pacbio
+
+            score, zero, total_len = calc_score_for_pacbio(
+                self.graph, paths, rs,
+                no_cov_penalty=cfg.penalty_constant, exp_cov_move=cfg.step,
+                min_prob_per_base=cfg.min_prob_per_base,
+                min_prob_start=cfg.min_prob_start)
+            prob += score * cfg.weight
+            if zeros is not None:
+                zeros.append((zero, rs.get_number_of_reads()))
+        return prob, total_len
+
+    def score(self, paths: Sequence[Sequence[int]]) -> float:
+        return self.calc_prob(paths)[0]

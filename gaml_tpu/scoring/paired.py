@@ -1,0 +1,241 @@
+"""Paired-end scorers: full rescore and the incremental per-move fast path.
+
+Reference semantics:
+- full: CalcScoreForPaths paired (graph.cc:1991-2127) — all (pos1, pos2)
+  combinations per read with opposite orientations in innie geometry
+  (leftmost mate forward), ``dist = far - near + farther mate's length``,
+  ``read_prob += p1*p2*insert_pdf(dist)``; pairs above a per-read threshold
+  emit coverage events; bad bases from the event sweep.
+- incremental: CalcScoreForPathsNew (graph.cc:1952-1989) — diff the new
+  walk multiset against the previous one (GetChanges, graph.cc:1745-1764),
+  subtract erased walks' per-read contributions and bad bases, add the new
+  walks' (CalcScoreForPathInc, graph.cc:1794-1920), keep running per-read
+  totals in a ScoringState.
+
+Quirk preserved: the incremental per-pair event threshold uses read_set2's
+length twice (graph.cc:1855-1857), unlike the full scorer's L1+L2.
+"""
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..core.logprob import insert_prob, insert_prob_table
+from ..core.paths import invert_path, path_len, split_at_gaps, total_len as paths_total_len
+from .reduce import get_total_prob
+
+
+@dataclass
+class ScoringState:
+    """Reference ScoringState (graph.h:612-619)."""
+    old_paths: List[List[int]] = field(default_factory=list)
+    bad_bases: int = 0
+    probs: np.ndarray = field(default_factory=lambda: np.zeros(0))
+
+
+def get_changes(new_paths: Sequence[Sequence[int]],
+                old_paths: Sequence[Sequence[int]]):
+    """Multiset diff of walks (reference GetChanges, graph.cc:1745-1764;
+    the reverse-complement matching there is commented out)."""
+    old_index = Counter(tuple(p) for p in old_paths)
+    added = []
+    for p in new_paths:
+        key = tuple(p)
+        if old_index[key] > 0:
+            old_index[key] -= 1
+        else:
+            added.append(list(p))
+    erased = []
+    for key, cnt in old_index.items():
+        for _ in range(cnt):
+            erased.append(list(key))
+    return erased, added
+
+
+def _pair_product(read_set1, read_set2, rid: int, x_pos: int, x_ed: int,
+                  x_or: int, y_pos: int, y_ed: int, y_or: int,
+                  table, insert_mean, insert_std):
+    """Innie-geometry pair term; None if geometry rejects
+    (graph.cc:2057-2088)."""
+    if x_or == y_or:
+        return None
+    if x_pos < y_pos:
+        if x_or != 0 or y_or != 1:
+            return None
+        dist = y_pos - x_pos + read_set2.get_read_len(rid)
+    else:
+        if x_or != 1 or y_or != 0:
+            return None
+        dist = x_pos - y_pos + read_set1.get_read_len(rid)
+    p1 = (read_set1.mismatch_probs[x_ed] *
+          read_set1.match_probs[read_set1.get_read_len(rid) - x_ed])
+    p2 = (read_set2.mismatch_probs[y_ed] *
+          read_set2.match_probs[read_set2.get_read_len(rid) - y_ed])
+    return p1 * p2 * insert_prob(dist, table, insert_mean, insert_std), dist
+
+
+def calc_score_for_paths_paired(graph, paths, read_set1, read_set2,
+                                insert_mean: float, insert_std: float,
+                                no_cov_penalty: float = 0.0,
+                                exp_cov_move: float = 0.75,
+                                use_all_to_cov: bool = False,
+                                min_prob_per_base: float = -0.7,
+                                min_prob_start: float = -10.0):
+    """Full paired rescore.  Returns (score, zero_reads, total_len)."""
+    assert read_set1.get_number_of_reads() == read_set2.get_number_of_reads()
+    total_len1 = 0
+    read_set1.clear_positions()
+    read_set2.clear_positions()
+    read_set1.precompute_alignment_for_paths(paths, graph)
+    read_set2.precompute_alignment_for_paths(paths, graph)
+    st = 0
+    events: List[Tuple[int, int]] = []
+
+    for path in paths:
+        ctgs, gaps = split_at_gaps(path)
+        events.append((st + total_len1, 1))
+        for i, ctg in enumerate(ctgs):
+            if i > 0:
+                total_len1 += gaps[i - 1]
+                events.append((st + total_len1, 1))
+            added1 = read_set1.add_positions(graph, ctg, st + total_len1)
+            read_set2.add_positions(graph, ctg, st + total_len1)
+            total_len1 += added1
+        st += 1000000
+
+    positions1 = read_set1.positions
+    positions2 = read_set2.positions
+    table = insert_prob_table(insert_mean, insert_std)
+    n = read_set1.get_number_of_reads()
+    read_probs = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        threshold = np.exp(min_prob_start + min_prob_per_base *
+                           (read_set1.get_read_len(i) + read_set2.get_read_len(i)))
+        for x_pos, (x_ed, x_or) in positions1[i]:
+            for y_pos, (y_ed, y_or) in positions2[i]:
+                res = _pair_product(read_set1, read_set2, i, x_pos, x_ed, x_or,
+                                    y_pos, y_ed, y_or, table, insert_mean, insert_std)
+                if res is None:
+                    continue
+                p, _dist = res
+                if p > threshold:
+                    events.append((max(x_pos, y_pos), 3))
+                    if use_all_to_cov:
+                        events.append((min(x_pos, y_pos), 3))
+                read_probs[i] += p
+
+    bad_bases = _coverage_sweep(events, insert_mean, insert_std, exp_cov_move)
+    lens = np.array([read_set1.get_read_len(i) + read_set2.get_read_len(i)
+                     for i in range(n)])
+    score, zero_reads = get_total_prob(read_probs, total_len1,
+                                       min_prob_per_base, min_prob_start, lens)
+    return score - bad_bases * no_cov_penalty, zero_reads, total_len1
+
+
+def _coverage_sweep(events: List[Tuple[int, int]], insert_mean: float,
+                    insert_std: float, exp_cov_move: float) -> int:
+    """Paired coverage-gap sweep (graph.cc:2092-2119 == graph.cc:1893-1919)."""
+    events.sort()
+    last_event_pos = 0
+    last_event_type = -1
+    last_begin = 0
+    bad_bases = 0
+    for pos, typ in events:
+        if typ == 3:
+            if (pos - last_event_pos > exp_cov_move and
+                    (last_event_type == 3 or last_event_type < 0) and
+                    pos - last_begin > insert_mean + 5 * insert_std):
+                bad_bases += pos - last_event_pos
+        if typ == 1:
+            last_begin = pos
+        last_event_pos = pos
+        last_event_type = typ
+    return bad_bases
+
+
+def calc_score_for_path_inc(graph, path, read_set1, read_set2,
+                            insert_mean: float, insert_std: float,
+                            exp_cov_move: float, use_all_to_cov: bool,
+                            min_prob_per_base: float, min_prob_start: float,
+                            changes: List[Tuple[int, float]]) -> int:
+    """Per-walk contribution (reference CalcScoreForPathInc,
+    graph.cc:1794-1920).  Appends (read_id, pair prob) to ``changes`` and
+    returns this walk's bad bases."""
+    table = insert_prob_table(insert_mean, insert_std)
+    events: List[Tuple[int, int]] = [(0, 1)]
+    ctgs, gaps = split_at_gaps(path)
+
+    positions1: Dict[int, list] = {}
+    positions2: Dict[int, list] = {}
+    cur_len = 0
+    for i, ctg in enumerate(ctgs):
+        if i > 0:
+            cur_len += gaps[i - 1]
+            events.append((cur_len, 1))
+        read_set1.get_positions_only_path(graph, ctg, cur_len, positions1)
+        read_set2.get_positions_only_path(graph, ctg, cur_len, positions2)
+        cur_len += path_len(graph, ctg)
+
+    for rid in sorted(positions1):
+        if rid not in positions2:
+            continue
+        # quirk: threshold uses read_set2's length twice (graph.cc:1855-1857)
+        threshold = np.exp(min_prob_start + min_prob_per_base *
+                           (read_set2.get_read_len(rid) + read_set2.get_read_len(rid)))
+        for x in positions1[rid]:
+            for y in positions2[rid]:
+                res = _pair_product(read_set1, read_set2, rid,
+                                    x.position, x.edit_dist, x.orientation,
+                                    y.position, y.edit_dist, y.orientation,
+                                    table, insert_mean, insert_std)
+                if res is None:
+                    continue
+                p, _dist = res
+                if p > threshold:
+                    events.append((max(x.position, y.position), 3))
+                    if use_all_to_cov:
+                        events.append((min(x.position, y.position), 3))
+                changes.append((rid, p))
+    return _coverage_sweep(events, insert_mean, insert_std, exp_cov_move)
+
+
+def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
+                                     insert_mean: float, insert_std: float,
+                                     scoring_state: ScoringState,
+                                     no_cov_penalty: float = 0.0,
+                                     exp_cov_move: float = 0.75,
+                                     use_all_to_cov: bool = False,
+                                     min_prob_per_base: float = -0.7,
+                                     min_prob_start: float = -10.0):
+    """Incremental rescore (reference CalcScoreForPathsNew,
+    graph.cc:1952-1989).  Returns (score, zero_reads, total_len)."""
+    erased, added = get_changes(paths, scoring_state.old_paths)
+    assert read_set1.get_number_of_reads() == read_set2.get_number_of_reads()
+    n = read_set1.get_number_of_reads()
+    if len(scoring_state.probs) == 0:
+        scoring_state.probs = np.zeros(n, dtype=np.float64)
+    total = paths_total_len(graph, paths)
+    read_set1.precompute_alignment_for_paths(paths, graph)
+    read_set2.precompute_alignment_for_paths(paths, graph)
+
+    for group, sign in ((erased, -1), (added, +1)):
+        group_changes: List[Tuple[int, float]] = []
+        group_bad = 0
+        for path in group:
+            group_bad += calc_score_for_path_inc(
+                graph, path, read_set1, read_set2, insert_mean, insert_std,
+                exp_cov_move, use_all_to_cov, min_prob_per_base,
+                min_prob_start, group_changes)
+        scoring_state.bad_bases += sign * group_bad
+        for rid, p in group_changes:
+            scoring_state.probs[rid] += sign * p
+
+    lens = np.array([read_set1.get_read_len(i) + read_set2.get_read_len(i)
+                     for i in range(n)])
+    score, zero_reads = get_total_prob(scoring_state.probs, total,
+                                       min_prob_per_base, min_prob_start, lens)
+    scoring_state.old_paths = [list(p) for p in paths]
+    return score - scoring_state.bad_bases * no_cov_penalty, zero_reads, total

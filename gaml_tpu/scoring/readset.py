@@ -1,0 +1,328 @@
+"""Short-read set: FASTQ ingestion, max-hash index, subpath alignment cache,
+position assembly over walks.
+
+Mirrors the reference ``ReadSet`` (graph.h:344-442, graph.cc:316-1113) with
+the subprocess aligner replaced by the internal banded extension engine
+(pluggable host-oracle / device backends, see align.aligner).
+
+Coordinate conventions (critical for parity):
+- alignments in the cache are in *subpath-window* coordinates, 1-based via
+  the ``begin_pos + 1 + offset`` rule (graph.cc:890);
+- walks are chopped into windows: node i plus following nodes until the
+  cumulative length of the *following* nodes exceeds 300 (graph.cc:499-517);
+  only windows whose end index differs from the previous window's are
+  precomputed — later windows sharing an end contribute nothing, which is
+  the dedup mechanism;
+- assembled positions are window position + the node's running offset.
+"""
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..align.aligner import (
+    Alignment,
+    K_MIN_SUBPATH_LENGTH,
+    SubpathAligner,
+)
+from ..core import dna
+from ..core.io import iter_fastq
+from ..core.paths import invert_path
+
+Subpath = Tuple[int, ...]
+
+
+class ReadSet:
+    def __init__(self, name: str, filename: str, match_prob: float,
+                 mismatch_prob: float, backend: str = "bfs"):
+        self.name = name
+        self.filename = filename
+        self.match_prob = match_prob
+        self.mismatch_prob = mismatch_prob
+        self.backend = backend
+
+        self.reads_num = 0
+        self.read_map: Dict[str, int] = {}
+        self.read_map_inv: Dict[int, str] = {}
+        self.read_seqs: Dict[int, np.ndarray] = {}
+        self.read_lens: List[int] = []
+        self.max_read_len = 0
+        self.match_probs = np.zeros(0)
+        self.mismatch_probs = np.zeros(0)
+
+        self.index = None  # ReadIndexMaxHash, built by prepare_read_index
+        self.aligner: Optional[SubpathAligner] = None
+        self.aligment_cache: Dict[Subpath, List[Alignment]] = {}
+        self.positions: List[List[Tuple[int, Tuple[int, int]]]] = []
+        self.load_success = False
+
+        self.advice_index: Dict[int, List[int]] = {}
+        self.advice_index1: Dict[int, List[int]] = {}
+        self._advice_index_built = False
+
+    # ------------------------------------------------------------- ingestion
+    def get_read_id(self, name: str) -> int:
+        if name not in self.read_map:
+            assert not self.load_success
+            rid = self.reads_num
+            self.read_map[name] = rid
+            self.read_map_inv[rid] = name
+            self.reads_num += 1
+            self.read_lens.append(0)
+        return self.read_map[name]
+
+    def preprocess_reads(self) -> None:
+        """Record read names/lengths (reference graph.cc:1386-1415)."""
+        if self.load_success:
+            return
+        for name, seq in iter_fastq(self.filename):
+            rid = self.get_read_id(name)
+            self.read_lens[rid] = len(seq)
+        self.calc_max_read_len()
+        self.load_success = True
+
+    def prepare_read_index(self) -> None:
+        """Load sequences and build the max-hash index
+        (reference graph.cc:1366-1384)."""
+        from ..index.maxhash import ReadIndexMaxHash
+
+        self.index = ReadIndexMaxHash()
+        for name, seq in iter_fastq(self.filename):
+            rid = self.get_read_id(name)
+            codes = dna.encode_seq(seq)
+            self.read_seqs[rid] = codes
+            self.index.add_read(codes, rid)
+        self.aligner = SubpathAligner(self.index, self.read_seqs, self.backend)
+
+    def calc_max_read_len(self) -> None:
+        """Precompute match/mismatch power tables (graph.cc:1443-1454)."""
+        self.max_read_len = max(self.read_lens) if self.read_lens else 0
+        n = self.max_read_len + 7
+        exps = np.arange(n, dtype=np.float64)
+        self.match_probs = np.power(self.match_prob, exps)
+        self.mismatch_probs = np.power(self.mismatch_prob, exps)
+
+    def get_number_of_reads(self) -> int:
+        return self.reads_num
+
+    def get_read_len(self, rid: int) -> int:
+        return self.read_lens[rid]
+
+    # ---------------------------------------------------------------- caches
+    def save_alignments(self, path: Optional[str] = None) -> None:
+        """Persist the alignment cache.  (The reference's short-read save is
+        dead code behind an early return, graph.cc:1035-1036; we make it
+        real.)"""
+        with open(path or self.name, "wb") as f:
+            pickle.dump({
+                "cache": self.aligment_cache,
+                "read_lens": self.read_lens,
+                "reads_num": self.reads_num,
+                "read_map": self.read_map,
+            }, f)
+
+    def load_alignments(self, path: Optional[str] = None) -> bool:
+        try:
+            with open(path or self.name, "rb") as f:
+                data = pickle.load(f)
+        except (OSError, pickle.PickleError):
+            return False
+        self.aligment_cache = data["cache"]
+        self.read_lens = data["read_lens"]
+        self.reads_num = data["reads_num"]
+        self.read_map = data["read_map"]
+        self.read_map_inv = {v: k for k, v in self.read_map.items()}
+        self.calc_max_read_len()
+        self.load_success = True
+        return True
+
+    def clear_positions(self) -> None:
+        self.positions = [[] for _ in range(self.reads_num)]
+
+    # ----------------------------------------------------------- subpathing
+    @staticmethod
+    def _window_at(path: Sequence[int], i: int, graph, stop_at_gap: bool) -> Tuple[List[int], int]:
+        """Window starting at index i: [path[i]] plus following nodes until
+        the cumulative length of the *following* nodes exceeds 300
+        (graph.cc:499-517).  Returns (window, end_index)."""
+        cur_seq = [path[i]]
+        cur_end = i
+        cur_seq_len = 0
+        for j in range(i + 1, len(path)):
+            if stop_at_gap and path[j] < 0:
+                break
+            cur_seq_len += graph.node_len(path[j])
+            cur_seq.append(path[j])
+            cur_end = j
+            if cur_seq_len > K_MIN_SUBPATH_LENGTH:
+                break
+        return cur_seq, cur_end
+
+    def get_subpaths_from_path(self, path: Sequence[int], graph,
+                               out: Set[Subpath]) -> None:
+        """Windows needing alignment (reference GetSubpathsFromPath,
+        graph.cc:495-533)."""
+        last_end = -1
+        for i in range(len(path)):
+            if path[i] < 0:
+                continue
+            cur_seq, cur_end = self._window_at(path, i, graph, stop_at_gap=True)
+            if cur_end != last_end:
+                key = tuple(cur_seq)
+                if key not in self.aligment_cache:
+                    out.add(key)
+            last_end = cur_end
+
+    def precompute_alignment_for_paths(self, paths: Sequence[Sequence[int]],
+                                       graph) -> None:
+        """Batch precompute for every window of every walk, plus inverted
+        windows and long single nodes (reference graph.cc:447-493; note
+        ``last_end`` deliberately carries across walks as in the C++)."""
+        subpaths: Set[Subpath] = set()
+        last_end = -1
+        for path in paths:
+            for i in range(len(path)):
+                if path[i] < 0:
+                    continue
+                cur_seq, cur_end = self._window_at(path, i, graph, stop_at_gap=True)
+                key = tuple(cur_seq)
+                if key not in self.aligment_cache and (
+                        last_end != cur_end or
+                        (len(cur_seq) == 1 and graph.node_len(cur_seq[0]) > 150)):
+                    subpaths.add(key)
+                    subpaths.add(tuple(invert_path(cur_seq)))
+                if graph.node_len(path[i]) > K_MIN_SUBPATH_LENGTH:
+                    if (path[i],) not in self.aligment_cache:
+                        subpaths.add((path[i],))
+                        subpaths.add((path[i] ^ 1,))
+                last_end = cur_end
+        if subpaths:
+            self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
+
+    def precompute_alignment_for_subpaths(self, graph,
+                                          subpaths: Sequence[Subpath]) -> None:
+        """Reference PrecomputeAligmentForSubpaths (graph.cc:911-922,
+        internal-aligner branch)."""
+        for sp in subpaths:
+            self.aligment_cache[sp] = []
+        for sp in subpaths:
+            self.aligment_cache[sp] = self.aligner.align_subpath(graph, sp)
+
+    def get_alignment_for_subpath(self, subpath: Subpath) -> List[Alignment]:
+        """Cache lookup; empty on miss (reference graph.cc:1463-1480)."""
+        return self.aligment_cache.get(tuple(subpath), [])
+
+    # ----------------------------------------------------- position assembly
+    def add_positions(self, graph, path: Sequence[int], st: int) -> int:
+        """Append alignments of a gap-free contig to ``self.positions`` at
+        scaffold offset ``st``; returns the contig's spelled length
+        (reference AddPositions, graph.cc:600-649 — note it looks up only
+        the plain window, deduping by exact position with overwrite)."""
+        subpaths: Set[Subpath] = set()
+        self.get_subpaths_from_path(path, graph, subpaths)
+        if subpaths:
+            self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
+
+        cur_pos = st
+        added_len = 0
+        for i in range(len(path)):
+            added_len += graph.node_len(path[i])
+            cur_seq, _ = self._window_at(path, i, graph, stop_at_gap=False)
+            for al in self.get_alignment_for_subpath(tuple(cur_seq)):
+                plist = self.positions[al.read_id]
+                pos = al.position + cur_pos
+                for j, (p, _) in enumerate(plist):
+                    if p == pos:
+                        plist[j] = (p, (al.edit_dist, al.orientation))
+                        break
+                else:
+                    plist.append((pos, (al.edit_dist, al.orientation)))
+            cur_pos += graph.node_len(path[i])
+        return added_len
+
+    def get_positions(self, graph, path: Sequence[int]):
+        """Positions over a single walk (may contain gaps) — reference
+        GetPositions (graph.cc:651-728).  Returns (positions, total_len)."""
+        self.positions = [[] for _ in range(self.reads_num)]
+        subpaths: Set[Subpath] = set()
+        self.get_subpaths_from_path(path, graph, subpaths)
+        if subpaths:
+            self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
+
+        cur_pos = 0
+        total_len = 0
+        for i in range(len(path)):
+            if path[i] < 0:
+                cur_pos += -path[i]
+                continue
+            total_len += graph.node_len(path[i])
+            cur_seq, _ = self._window_at(path, i, graph, stop_at_gap=True)
+            seqs = [cur_seq]
+            if graph.node_len(cur_seq[0]) > K_MIN_SUBPATH_LENGTH:
+                seqs.append([cur_seq[0]])
+            for seq in seqs:
+                for al in self.get_alignment_for_subpath(tuple(seq)):
+                    plist = self.positions[al.read_id]
+                    pos = al.position + cur_pos
+                    for j, (p, _) in enumerate(plist):
+                        if p == pos:
+                            plist[j] = (p, (al.edit_dist, al.orientation))
+                            break
+                    else:
+                        plist.append((pos, (al.edit_dist, al.orientation)))
+            cur_pos += graph.node_len(path[i])
+        return self.positions, total_len
+
+    def get_positions_only_path(self, graph, path: Sequence[int], st: int,
+                                current: Dict[int, List[Alignment]]) -> None:
+        """Positions of one gap-free contig collected into a read->alignments
+        map, with the trailing-window duplicate filter (``position <
+        max_pos - 5`` skip) — reference GetPositionsOnlyPath
+        (graph.cc:535-598)."""
+        subpaths: Set[Subpath] = set()
+        self.get_subpaths_from_path(path, graph, subpaths)
+        if subpaths:
+            self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
+
+        cur_pos = st
+        max_pos = 0
+        for i in range(len(path)):
+            cur_max_pos = 0
+            cur_seq, _ = self._window_at(path, i, graph, stop_at_gap=False)
+            seqs = [cur_seq]
+            if graph.node_len(cur_seq[0]) > K_MIN_SUBPATH_LENGTH:
+                seqs.append([cur_seq[0]])
+            for seq in seqs:
+                for al in self.get_alignment_for_subpath(tuple(seq)):
+                    pos = al.position + cur_pos
+                    if pos < max_pos - 5:
+                        continue
+                    cur_max_pos = max(pos, cur_max_pos)
+                    moved = Alignment(pos, al.edit_dist, al.read_id, al.orientation)
+                    lst = current.setdefault(al.read_id, [])
+                    for j, existing in enumerate(lst):
+                        if existing.position == pos:
+                            lst[j] = moved
+                            break
+                    else:
+                        lst.append(moved)
+            cur_pos += graph.node_len(path[i])
+            max_pos = max(max_pos, cur_max_pos)
+
+    # --------------------------------------------------------------- advice
+    def build_advice_index(self, graph, threshold: int) -> None:
+        """read -> long nodes it aligns to (reference BuildAdviceIndex,
+        graph.cc:323-342)."""
+        if self._advice_index_built:
+            return
+        self._advice_index_built = True
+        for i in range(graph.num_nodes):
+            if graph.node_len(i) > threshold:
+                positions: Dict[int, List[Alignment]] = {}
+                self.get_positions_only_path(graph, [i], 0, positions)
+                for rid, als in positions.items():
+                    self.advice_index.setdefault(rid, []).append(i)
+                    if als[0].orientation == 1:
+                        self.advice_index1.setdefault(rid, []).append(i)

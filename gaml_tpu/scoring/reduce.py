@@ -1,0 +1,59 @@
+"""Per-read probability -> assembly score reductions.
+
+Reference GetTotalProb family (graph.cc:1495-1576): each read's summed
+position probability is normalized by ``2 * total_len`` (both strands),
+floored at ``exp(min_prob_start + min_prob_per_base * L)`` (counting floored
+reads as ``zero_reads``), and the score is the mean natural log.  A legacy
+variant uses log10 with a fixed threshold (graph.cc:1559-1576) — kept for
+the single-path debug scorer only.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+K_THRESHOLD_PROB = 1e-35  # reference kThresholdProb (graph.cc:24)
+
+
+def get_total_prob(read_probs: np.ndarray, total_len: int,
+                   min_prob_per_base: float, min_prob_start: float,
+                   lens: np.ndarray) -> Tuple[float, int]:
+    """(score, zero_reads).  ``lens`` is the per-read length used in the
+    floor: L for single reads (graph.cc:1518-1537), L1+L2 for pairs
+    (graph.cc:1495-1516) — the caller builds it."""
+    if total_len == 0:
+        total_len = 1
+    probs = np.asarray(read_probs, dtype=np.float64) / (2 * total_len)
+    thresholds = np.exp(min_prob_start + min_prob_per_base * np.asarray(lens, dtype=np.float64))
+    floored = probs < thresholds
+    zero_reads = int(np.count_nonzero(floored))
+    probs = np.where(floored, thresholds, probs)
+    if len(probs) == 0:
+        return 0.0, 0
+    return float(np.sum(np.log(probs)) / len(probs)), zero_reads
+
+
+def get_total_prob_legacy(read_probs: np.ndarray, total_len: int) -> Tuple[float, int]:
+    """log10 variant with fixed threshold (graph.cc:1559-1576)."""
+    if total_len == 0:
+        total_len = 1
+    probs = np.asarray(read_probs, dtype=np.float64) / (2 * total_len)
+    floored = probs < K_THRESHOLD_PROB
+    zero_reads = int(np.count_nonzero(floored))
+    probs = np.where(floored, K_THRESHOLD_PROB, probs)
+    if len(probs) == 0:
+        return 0.0, 0
+    return float(np.sum(np.log10(probs)) / len(probs)), zero_reads
+
+
+def positions_to_read_probs(num_reads: int, positions, read_set) -> np.ndarray:
+    """read_probs[i] = sum over positions of mm^ed * m^(L-ed)
+    (reference PositionsToReadProbs, graph.cc:1482-1493), accumulated in
+    list order for bit-parity with the C++ loop."""
+    out = np.zeros(num_reads, dtype=np.float64)
+    for i in range(len(positions)):
+        for _pos, (ed, _orient) in positions[i]:
+            out[i] += (read_set.mismatch_probs[ed] *
+                       read_set.match_probs[read_set.get_read_len(i) - ed])
+    return out
