@@ -1,13 +1,17 @@
-"""Test configuration: force CPU with 8 virtual devices so multi-chip sharding
-(`gaml_tpu.parallel`) is exercised without TPU hardware.
+"""Test configuration: force CPU with 8 virtual devices so multi-chip
+sharding (gaml_tpu.parallel) is exercised without TPU hardware.
 
-Must run before jax initializes a backend, hence top-level env mutation.
+The container's sitecustomize imports jax and registers a remote-TPU
+backend at interpreter startup, so plain env mutation is too late;
+``jax.config.update`` still wins as long as no backend has been used yet.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
