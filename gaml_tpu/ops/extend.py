@@ -166,21 +166,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def batch_extend_arrays(seq: np.ndarray, g0s: np.ndarray, r0s: np.ndarray,
-                        reads: List[np.ndarray], use_pallas: bool = None):
-    """Host staging: build direction views and run the kernel.
+def stage_candidates(seq: np.ndarray, g0s: np.ndarray, r0s: np.ndarray,
+                     reads: List[np.ndarray], rmax: int = None,
+                     nb: int = None, read_ids: np.ndarray = None):
+    """Build the kernel's direction-view arrays on host.
 
-    seq: encoded subpath window; per candidate i: seed at genome g0s[i] /
-    read r0s[i] in oriented read reads[i].  Returns (ok, errs, begin) numpy
-    arrays replicating ProcessHit outputs."""
+    Returns a dict of numpy arrays (kernel inputs + candidate metadata),
+    padded to nb candidates and rmax rows."""
     n = len(reads)
-    if n == 0:
-        return (np.zeros(0, bool), np.zeros(0, np.int32), np.zeros(0, np.int32))
     glen = len(seq)
     rlens = np.array([len(r) for r in reads], dtype=np.int32)
-    rmax_needed = int(max(int((rlens - r0s - K).max()), int(r0s.max()), 1))
-    rmax = _round_up(rmax_needed, 32)
-    nb = _round_up(n, 64)
+    if rmax is None:
+        rmax_needed = int(max(int((rlens - r0s - K).max(initial=1)),
+                              int(r0s.max(initial=1)), 1))
+        rmax = _round_up(rmax_needed, 32)
+    if nb is None:
+        nb = _round_up(max(n, 1), 64)
 
     read_f = np.full((nb, rmax), SENT_READ, dtype=np.uint8)
     read_b = np.full((nb, rmax), SENT_READ, dtype=np.uint8)
@@ -215,10 +216,40 @@ def batch_extend_arrays(seq: np.ndarray, g0s: np.ndarray, r0s: np.ndarray,
             gwin_b[i, PAD:PAD + m] = rev[:m]
         # g0 == 0: backward skipped; rlen_b stays 0 -> errs_b = 0 from DP
 
+    g0_pad = np.zeros(nb, dtype=np.int32)
+    r0_pad = np.zeros(nb, dtype=np.int32)
+    rlen_pad = np.zeros(nb, dtype=np.int32)
+    g0_pad[:n] = g0s
+    r0_pad[:n] = r0s
+    rlen_pad[:n] = rlens
+    valid = np.zeros(nb, dtype=bool)
+    valid[:n] = True
+    rid_pad = np.zeros(nb, dtype=np.int32)
+    if read_ids is not None:
+        rid_pad[:n] = read_ids
+    return {
+        "read_f": read_f, "rlen_f": rlen_f, "gwin_f": gwin_f, "glen_f": glen_f,
+        "read_b": read_b, "rlen_b": rlen_b, "gwin_b": gwin_b, "glen_b": glen_b,
+        "g0": g0_pad, "r0": r0_pad, "read_len": rlen_pad, "valid": valid,
+        "at_start": g0_pad == 0 if n else np.zeros(nb, dtype=bool),
+        "read_id": rid_pad, "rmax": rmax, "n": n,
+    }
+
+
+def batch_extend_arrays(seq: np.ndarray, g0s: np.ndarray, r0s: np.ndarray,
+                        reads: List[np.ndarray]):
+    """Host staging + kernel run.  Returns (ok, errs, begin) numpy arrays
+    replicating ProcessHit outputs (modulo the documented min-cost
+    improvement)."""
+    n = len(reads)
+    if n == 0:
+        return (np.zeros(0, bool), np.zeros(0, np.int32), np.zeros(0, np.int32))
+    st = stage_candidates(seq, g0s, r0s, reads)
     ok, errs, d_back = extend_kernel(
-        jnp.asarray(read_f), jnp.asarray(rlen_f), jnp.asarray(gwin_f),
-        jnp.asarray(glen_f), jnp.asarray(read_b), jnp.asarray(rlen_b),
-        jnp.asarray(gwin_b), jnp.asarray(glen_b), rmax)
+        jnp.asarray(st["read_f"]), jnp.asarray(st["rlen_f"]),
+        jnp.asarray(st["gwin_f"]), jnp.asarray(st["glen_f"]),
+        jnp.asarray(st["read_b"]), jnp.asarray(st["rlen_b"]),
+        jnp.asarray(st["gwin_b"]), jnp.asarray(st["glen_b"]), st["rmax"])
     ok = np.asarray(ok)[:n]
     errs = np.asarray(errs)[:n].astype(np.int32)
     d_back = np.asarray(d_back)[:n]
