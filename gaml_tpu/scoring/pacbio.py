@@ -1,0 +1,403 @@
+"""PacBio (long-read) read set.
+
+Replaces the reference's BLASR subprocess pipeline (graph.h:444-593,
+graph.cc:2299-3038) with the internal minimizer-chain aligner
+(align.longread) and the banded log-space forward kernel (ops.forward):
+
+- anchors: every graph node >= 80 bp is k-mer-indexed in one concatenated
+  buffer; each read is scanned once and chained per (node, strand); chains
+  whose projected extent covers the node start/end within 10 bp populate
+  anchors_begin/anchors_end (reference ComputeAnchors semantics,
+  graph.cc:2505-2576);
+- walk scoring: reads filtered by anchors on the walk's nodes are chained
+  against the spelled walk; each chain's guide band is integrated by the
+  forward DP into an alignment log-probability, cached per node-window
+  subpath exactly like the reference cache (graph.cc:2724-2785);
+- gap estimation between two flanking nodes from one spanning read
+  (reference GetGap, graph.cc:2578-2648).
+
+Probabilities use the reference model (match/mismatch/indel =
+match_prob/mismatch_prob, free start, full-read consumption); band
+construction is internal instead of BLASR CIGARs, so values are
+semantically equivalent rather than bit-identical (SURVEY.md section 7,
+"Banded DP on TPU").
+"""
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, NamedTuple, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..align.longread import SEED_K, align_long_read, chain_hits, guide_path, _kmer_hits
+from ..core import dna
+from ..core.io import iter_fastq
+
+K_MIN_ANCHOR_LEN = 80  # reference kMinAnchorLen (graph.cc:31)
+
+
+class PacbioAlignment(NamedTuple):
+    position: int
+    position_end: int
+    read_id: int
+    logprob: float
+
+
+class PacbioReadSet:
+    def __init__(self, name: str, filename: str, match_prob: float,
+                 mismatch_prob: float, forward_width: int = 64):
+        self.name = name
+        self.filename = filename
+        self.match_prob = match_prob
+        self.mismatch_prob = mismatch_prob
+        self.min_match_prob = 1 - 2 * (1 - match_prob)
+        self.forward_width = forward_width
+
+        self.reads_num = 0
+        self.read_map: Dict[str, int] = {}
+        self.read_map_inv: Dict[int, str] = {}
+        self.read_seq: List[np.ndarray] = []
+        self.read_lens: List[int] = []
+        self.max_read_len = 0
+        self.load_success = False
+
+        self.aligment_cache: Dict[Tuple[int, ...], List[PacbioAlignment]] = {}
+        self.anchors_cache: Dict[int, Set[int]] = {}
+        self.anchors_begin: Dict[int, Set[int]] = {}
+        self.anchors_end: Dict[int, Set[int]] = {}
+        self.anchors_reverse: Dict[int, Set[int]] = {}
+        self.positions2: List[List[Tuple[Tuple[int, int], float]]] = []
+
+    # ------------------------------------------------------------- ingestion
+    def get_read_id(self, name: str) -> int:
+        if name not in self.read_map:
+            assert not self.load_success, f"missing read {name}"
+            rid = self.reads_num
+            self.read_map[name] = rid
+            self.read_map_inv[rid] = name
+            self.reads_num += 1
+            self.read_lens.append(0)
+            self.read_seq.append(np.zeros(0, dtype=np.uint8))
+        return self.read_map[name]
+
+    def preprocess_reads(self) -> None:
+        """Reference graph.cc:1417-1441."""
+        if self.load_success:
+            return
+        for name, seq in iter_fastq(self.filename):
+            rid = self.get_read_id(name)
+            codes = dna.encode_seq(seq)
+            self.read_seq[rid] = codes
+            self.read_lens[rid] = len(codes)
+        self.max_read_len = max(self.read_lens) if self.read_lens else 0
+        self.load_success = True
+
+    def get_number_of_reads(self) -> int:
+        return self.reads_num
+
+    def get_read_len(self, rid: int) -> int:
+        return self.read_lens[rid]
+
+    def get_read_name(self, rid: int) -> str:
+        return self.read_map_inv[rid]
+
+    def get_min_read_prob(self, rid: int) -> float:
+        """log of mismatch^(0.25 L) * match^(0.75 L)
+        (reference GetMinReadProb, graph.h:478-481)."""
+        L = self.read_lens[rid]
+        return (0.25 * L * np.log(self.mismatch_prob) +
+                0.75 * L * np.log(self.match_prob))
+
+    # ----------------------------------------------------------- persistence
+    def save_alignments(self, path: Optional[str] = None) -> None:
+        with open(path or self.name, "wb") as f:
+            pickle.dump({
+                "cache": self.aligment_cache,
+                "read_lens": self.read_lens,
+                "read_seq": self.read_seq,
+                "reads_num": self.reads_num,
+                "read_map": self.read_map,
+            }, f)
+
+    def load_alignments(self, path: Optional[str] = None) -> bool:
+        try:
+            with open(path or self.name, "rb") as f:
+                data = pickle.load(f)
+        except (OSError, pickle.PickleError):
+            return False
+        self.aligment_cache = data["cache"]
+        self.read_lens = data["read_lens"]
+        self.read_seq = data["read_seq"]
+        self.reads_num = data["reads_num"]
+        self.read_map = data["read_map"]
+        self.read_map_inv = {v: k for k, v in self.read_map.items()}
+        self.max_read_len = max(self.read_lens) if self.read_lens else 0
+        self.load_success = True
+        return True
+
+    def normalize_cache(self, graph) -> None:
+        """Rewrite cache keys through the node-dedup map
+        (reference NormalizeCache, graph.cc:1102-1113)."""
+        for key in list(self.aligment_cache.keys()):
+            npath = tuple(graph.normalize_path(list(key)))
+            self.aligment_cache[npath] = self.aligment_cache[key]
+
+    # --------------------------------------------------------------- anchors
+    def compute_anchors(self, graph, persist: bool = True) -> None:
+        """Reference ComputeAnchors (graph.cc:2505-2576): node -> reads
+        aligning to it, plus begin/end-touching subsets and the read ->
+        begin-anchored-nodes reverse index."""
+        anchors_path = self.name + ".anchors"
+        loaded = False
+        if persist:
+            try:
+                with open(anchors_path, "rb") as f:
+                    data = pickle.load(f)
+                self.anchors_cache = data["cache"]
+                self.anchors_begin = data["begin"]
+                self.anchors_end = data["end"]
+                loaded = True
+            except (OSError, pickle.PickleError):
+                pass
+        if not loaded:
+            self._compute_anchors_fresh(graph)
+            if persist:
+                with open(anchors_path, "wb") as f:
+                    pickle.dump({"cache": self.anchors_cache,
+                                 "begin": self.anchors_begin,
+                                 "end": self.anchors_end}, f)
+        self.anchors_reverse = {}
+        for node, reads in self.anchors_begin.items():
+            for r in reads:
+                self.anchors_reverse.setdefault(r, set()).add(node)
+
+    def _compute_anchors_fresh(self, graph) -> None:
+        # concatenated buffer of all anchor-eligible nodes with an id map
+        node_ids = [i for i in range(graph.num_nodes)
+                    if graph.node_len(i) >= K_MIN_ANCHOR_LEN]
+        if not node_ids or self.reads_num == 0:
+            return
+        from ..index.maxhash import pack_kmers
+
+        index: Dict[int, List[Tuple[int, int]]] = {}
+        for nid in node_ids:
+            seq = graph.seqs[nid]
+            for off, v in enumerate(pack_kmers(seq, SEED_K)):
+                index.setdefault(int(v), []).append((nid, off))
+
+        for rid in range(self.reads_num):
+            for strand, q in ((0, self.read_seq[rid]),
+                              (1, dna.revcomp(self.read_seq[rid]))):
+                if len(q) < SEED_K:
+                    continue
+                qk = pack_kmers(q, SEED_K)
+                per_node: Dict[int, List[Tuple[int, int]]] = {}
+                for j, v in enumerate(qk):
+                    for nid, off in index.get(int(v), ()):
+                        per_node.setdefault(nid, []).append((off, j))
+                for nid, hits in per_node.items():
+                    chains = chain_hits(hits, min_seeds=3)
+                    if not chains:
+                        continue
+                    ch = chains[0]
+                    nlen = graph.node_len(nid)
+                    rlen = len(q)
+                    cov_start = ch.tstart - min(ch.tstart, ch.qstart)
+                    cov_end = ch.tend + min(nlen - ch.tend, rlen - ch.qend)
+                    self.anchors_cache.setdefault(nid, set()).add(rid)
+                    if cov_start <= 10:
+                        self.anchors_begin.setdefault(nid, set()).add(rid)
+                    if cov_end >= nlen - 10:
+                        self.anchors_end.setdefault(nid, set()).add(rid)
+
+    # ----------------------------------------------------- alignment (slow)
+    def _forward_batch(self, seq: np.ndarray, jobs):
+        """jobs: list of (read codes, centers).  Returns logprobs list."""
+        if not jobs:
+            return []
+        import jax.numpy as jnp
+
+        from ..ops.forward import banded_forward
+
+        rmax = max(len(r) for r, _c in jobs)
+        rmax = ((rmax + 127) // 128) * 128
+        b = len(jobs)
+        reads = np.full((b, rmax), 6, dtype=np.uint8)
+        rlens = np.zeros(b, dtype=np.int32)
+        centers = np.zeros((b, rmax + 1), dtype=np.int32)
+        for i, (r, c) in enumerate(jobs):
+            reads[i, :len(r)] = r
+            rlens[i] = len(r)
+            centers[i, :len(c)] = c
+            centers[i, len(c):] = c[-1]
+        out = banded_forward(
+            jnp.asarray(seq), jnp.asarray(reads), jnp.asarray(rlens),
+            jnp.asarray(centers),
+            jnp.zeros(b, dtype=jnp.int32),
+            jnp.full(b, len(seq), dtype=jnp.int32),
+            float(np.log(self.match_prob)), float(np.log(self.mismatch_prob)),
+            rmax, self.forward_width)
+        return [float(x) for x in np.asarray(out)]
+
+    def _spell_with_positions(self, graph, path: Sequence[int]):
+        """Spell a sub-walk (gaps as N) with per-node end positions
+        (reference pathnodesposes bookkeeping, graph.cc:2662-2681)."""
+        parts = []
+        ends = []
+        begins = []
+        pos = 0
+        for e in path:
+            begins.append(pos)
+            if e < 0:
+                parts.append(np.full(-e, dna.CODE_N, dtype=np.uint8))
+                pos += -e
+            else:
+                parts.append(graph.seqs[e])
+                pos += graph.node_len(e)
+            ends.append(pos)
+        seq = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+        return seq, begins, ends
+
+    def get_read_probabilities_slow(self, graph, path: Sequence[int],
+                                    save_to_cache: bool = True):
+        """Align anchored reads to the spelled sub-walk and cache per-subpath
+        alignments (reference GetReadProbabilitiesSlow, graph.cc:2650-2795).
+        Returns (positions, total_len): positions[rid] = [(tstart, logprob)].
+        """
+        seq, begins, ends = self._spell_with_positions(graph, path)
+        total_len = len(seq)
+
+        read_filter: Set[int] = set()
+        for e in path:
+            if e >= 0:
+                read_filter.update(self.anchors_cache.get(e, ()))
+        if not read_filter:
+            read_filter = set(range(self.reads_num))
+
+        # window bookkeeping for cache assignment (graph.cc:2724-2742)
+        subpath_starts: Dict[Tuple[int, ...], int] = {}
+        dont_save: Set[Tuple[int, ...]] = set()
+        if save_to_cache:
+            for i in range(len(path)):
+                subpath = []
+                for j in range(i, len(path)):
+                    subpath.append(path[j])
+                    key = tuple(subpath)
+                    if key in self.aligment_cache:
+                        dont_save.add(key)
+                    else:
+                        self.aligment_cache[key] = []
+                    subpath_starts[key] = i
+                    if ends[j] - begins[i] - (ends[i] - begins[i]) > self.max_read_len:
+                        break
+
+        positions: List[List[Tuple[int, float]]] = [[] for _ in range(self.reads_num)]
+        jobs = []
+        meta = []
+        for rid in sorted(read_filter):
+            read = self.read_seq[rid]
+            for chain in align_long_read(seq, read, min_seeds=3):
+                q = read if chain.strand == 0 else dna.revcomp(read)
+                centers = guide_path(chain, len(q), len(seq))
+                jobs.append((q, centers))
+                meta.append((rid, chain))
+        logprobs = self._forward_batch(seq, jobs)
+        for (rid, chain), lp in zip(meta, logprobs):
+            tstart = max(0, chain.tstart - chain.qstart)
+            tend = min(total_len, chain.tend + (self.read_lens[rid] - chain.qend))
+            positions[rid].append((tstart, lp))
+            if save_to_cache:
+                import bisect
+
+                it_begin = bisect.bisect_left(ends, max(0, tstart - 5))
+                it_end = bisect.bisect_left(
+                    ends, min(tend + 5, total_len))
+                it_begin = min(it_begin, len(path) - 1)
+                it_end = min(it_end, len(path) - 1)
+                key = tuple(path[it_begin:it_end + 1])
+                pos_begin = begins[it_begin]
+                if subpath_starts.get(key) == it_begin and key not in dont_save:
+                    self.aligment_cache[key].append(PacbioAlignment(
+                        tstart - pos_begin, tend - pos_begin, rid, lp))
+        return positions, total_len
+
+    # --------------------------------------------------- cached positions
+    def get_read_probabilities(self, graph, path: Sequence[int]):
+        """Assemble cached per-subpath alignments over a walk, filling
+        missing cache ranges via the slow path (reference
+        GetReadProbabilities, graph.cc:2410-2503).  Returns
+        (positions2, total_len): positions2[rid] = [((start, end), logprob)].
+        """
+        path = list(path)
+        seq_len = 0
+        begins, ends = [], []
+        for e in path:
+            begins.append(seq_len)
+            seq_len += -e if e < 0 else graph.node_len(e)
+            ends.append(seq_len)
+        total_len = seq_len
+
+        subpaths = []
+        missing = []
+        for i in range(len(path)):
+            subpath = []
+            for j in range(i, len(path)):
+                subpath.append(path[j])
+                key = tuple(subpath)
+                if key not in self.aligment_cache:
+                    missing.append((i, j))
+                subpaths.append((key, i))
+                if ends[j] - begins[i] - (ends[i] - begins[i]) > self.max_read_len:
+                    break
+        if missing:
+            missing.sort()
+            last_end = -47
+            last_begin = -47
+            for a, b in missing:
+                if a > last_end:
+                    if last_end != -47:
+                        self.get_read_probabilities_slow(
+                            graph, path[last_begin:last_end + 1])
+                    last_begin, last_end = a, b
+                last_end = max(last_end, b)
+            if last_end != -47:
+                self.get_read_probabilities_slow(
+                    graph, path[last_begin:last_end + 1])
+
+        self.positions2 = [[] for _ in range(self.reads_num)]
+        for key, i in subpaths:
+            pos_begin = begins[i]
+            for al in self.aligment_cache.get(key, ()):
+                self.positions2[al.read_id].append(
+                    ((pos_begin + al.position, pos_begin + al.position_end),
+                     al.logprob))
+        return self.positions2, total_len
+
+    # ------------------------------------------------------------------ gaps
+    def get_gap(self, graph, first: int, second: int, read_id: int) -> int:
+        """Implied gap length between two nodes from one spanning read
+        (reference GetGap, graph.cc:2578-2648), with its negative error
+        codes: -1 no alignments, -2 strand mismatch, -3 second not at its
+        start, -4 first not at its end, -5 read-coordinate overlap."""
+        read = self.read_seq[read_id]
+        flen = graph.node_len(first)
+
+        def best(node, pick):
+            chains = align_long_read(graph.seqs[node], read, min_seeds=3)
+            if not chains:
+                return None
+            return pick(chains)
+
+        fa = best(first, lambda cs: max(cs, key=lambda c: c.tend))
+        sa = best(second, lambda cs: min(cs, key=lambda c: c.tstart))
+        if fa is None or sa is None:
+            return -1
+        if fa.strand != sa.strand:
+            return -2
+        if sa.tstart > 10:
+            return -3
+        if fa.tend < flen - 10:
+            return -4
+        if fa.qend > sa.qstart:
+            return -5
+        return flen - fa.tend + sa.tstart + sa.qstart - fa.qend

@@ -1,0 +1,91 @@
+"""PacBio subsystem: anchors, cached walk scoring, gap estimation."""
+import numpy as np
+import pytest
+
+from gaml_tpu.core import dna
+from gaml_tpu.scoring.pacbio import PacbioReadSet
+from gaml_tpu.scoring.pacbio_score import calc_score_for_pacbio
+
+from fixtures import make_linear_graph, random_seq, write_fastq
+from test_forward_kernel import noisy_copy
+
+PB_MATCH = 0.85
+PB_MISMATCH = (1 - PB_MATCH) / 2  # reference convention: 1-2*(1-m) floor
+
+
+def make_pb_readset(tmp_path, graph, seqs, rng, n_reads=12, rlen=600,
+                    err=0.1, name="pb"):
+    genome = "".join(seqs)
+    reads = []
+    for _ in range(n_reads):
+        p = int(rng.integers(0, max(1, len(genome) - rlen)))
+        r = noisy_copy(rng, dna.encode_seq(genome[p:p + rlen]), err=err)
+        if rng.random() < 0.5:
+            r = dna.revcomp(r)
+        reads.append(dna.decode_seq(r))
+    fq = tmp_path / f"{name}.fq"
+    write_fastq(str(fq), reads, prefix="pb")
+    rs = PacbioReadSet(str(tmp_path / name), str(fq), PB_MATCH, 0.05)
+    rs.preprocess_reads()
+    rs.compute_anchors(graph, persist=False)
+    return rs, reads
+
+
+def test_anchors_cover_spanned_nodes(tmp_path):
+    rng = np.random.default_rng(0)
+    gr, seqs = make_linear_graph(rng, [400, 60, 500])
+    rs, reads = make_pb_readset(tmp_path, gr, seqs, rng, n_reads=10,
+                                rlen=700, err=0.08)
+    # long reads spanning the junction anchor on both long nodes
+    assert rs.anchors_cache.get(0) or rs.anchors_cache.get(1)
+    assert rs.anchors_cache.get(4) or rs.anchors_cache.get(5)
+    # reverse index consistent with begin anchors
+    for node, rids in rs.anchors_begin.items():
+        for rid in rids:
+            assert node in rs.anchors_reverse[rid]
+
+
+def test_read_probabilities_cache_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    gr, seqs = make_linear_graph(rng, [400, 60, 500])
+    rs, _ = make_pb_readset(tmp_path, gr, seqs, rng, n_reads=6, rlen=500)
+    walk = [0, 2, 4]
+    pos1, tl1 = rs.get_read_probabilities(gr, walk)
+    # second call must come purely from cache and agree
+    pos2, tl2 = rs.get_read_probabilities(gr, walk)
+    assert tl1 == tl2 == sum(len(s) for s in seqs)
+    assert pos1 == pos2
+    n_hits = sum(len(p) for p in pos1)
+    assert n_hits >= 4  # most reads align somewhere
+
+
+def test_pacbio_scorer_prefers_true_walk(tmp_path):
+    rng = np.random.default_rng(2)
+    gr, seqs = make_linear_graph(rng, [500, 80, 500, 80, 500])
+    rs, _ = make_pb_readset(tmp_path, gr, seqs, rng, n_reads=14, rlen=800,
+                            err=0.08)
+    true_walk = [[0, 2, 4, 6, 8]]
+    # scrambled: long nodes in wrong order
+    wrong_walk = [[4, 2, 0], [8, 6]]
+    s_true, z_true, _ = calc_score_for_pacbio(gr, true_walk, rs)
+    rs2, _ = make_pb_readset(tmp_path, gr, seqs, rng, n_reads=14, rlen=800,
+                             err=0.08, name="pb2")
+    s_wrong, z_wrong, _ = calc_score_for_pacbio(gr, wrong_walk, rs2)
+    assert np.isfinite(s_true)
+    assert s_true > s_wrong
+
+
+def test_get_gap_estimates_distance(tmp_path):
+    rng = np.random.default_rng(3)
+    gr, seqs = make_linear_graph(rng, [500, 500])
+    gap_true = 150
+    bridge = seqs[0] + random_seq(rng, gap_true) + seqs[1]
+    # read spanning end of node0 across the gap into node1
+    read_seq = bridge[200:900]
+    fq = tmp_path / "gap.fq"
+    write_fastq(str(fq), [read_seq], prefix="g")
+    rs = PacbioReadSet(str(tmp_path / "gaprs"), str(fq), PB_MATCH, 0.05)
+    rs.preprocess_reads()
+    est = rs.get_gap(gr, 0, 2, 0)
+    assert est >= 0
+    assert abs(est - gap_true) < 40
