@@ -112,6 +112,15 @@ class SubpathAligner:
         if self.backend == "device" and cands:
             from ..ops.extend import batch_extend_host
             return batch_extend_host(seq, cands)
+        from ..native import get_lib
+
+        if get_lib() is not None and cands:
+            from ..native import process_hit_batch
+
+            triples = [(c.genome_pos, c.read_pos, read) for c, read in cands]
+            results = process_hit_batch(seq, triples)
+            return [(False, -1, -1) if r is None else (True, r[0], r[1])
+                    for r in results]
         out = []
         for cand, read in cands:
             res = bfs.process_hit(cand.genome_pos, cand.read_pos, read, seq)

@@ -199,7 +199,16 @@ class Graph:
     def calc_reachability_big(self, threshold: int) -> None:
         """BFS from each long node through short nodes only, recording the
         short-node path between long-node pairs
-        (reference Graph::CalcReachabilityBig, graph.cc:154-198)."""
+        (reference Graph::CalcReachabilityBig, graph.cc:154-198).
+        Uses the C++ kernel when built."""
+        from ..native import get_lib
+
+        if get_lib() is not None:
+            from ..native import reach_big
+
+            result = reach_big(self, threshold)
+            self.reach_big = [result.get(i, {}) for i in range(self.num_nodes)]
+            return
         self.reach_big = [dict() for _ in range(self.num_nodes)]
         for i in range(self.num_nodes):
             if self.node_len(i) <= threshold:
@@ -231,7 +240,17 @@ class Graph:
         """Distance-bounded Dijkstra from every node recording the shortest
         connecting inner path (reference Graph::CalcReachabilityLimit,
         graph.cc:108-152).  Distances measure the spelled bases strictly
-        between the two nodes: expanding from x != start adds len(x)."""
+        between the two nodes: expanding from x != start adds len(x).
+        Uses the C++ kernel when built."""
+        from ..native import get_lib
+
+        if get_lib() is not None:
+            from ..native import reach_limit
+
+            result = reach_limit(self, max_dist)
+            self.reach_limit = [result.get(i, {})
+                                for i in range(self.num_nodes)]
+            return
         n = self.num_nodes
         self.reach_limit = [dict() for _ in range(n)]
         for i in range(n):

@@ -72,7 +72,16 @@ def window_max_fingerprints(codes: np.ndarray, read_len: int) -> List[Tuple[int,
     """All (fingerprint, kmer_end_pos) for read-length windows of a genome,
     with runs of equal fingerprints collapsed (reference GetMinHashWithPoses,
     graph.cc:1289-1323).  Position is the *end* index of the max k-mer; on
-    ties the earliest k-mer wins (strict-less pop in the reference deque)."""
+    ties the earliest k-mer wins (strict-less pop in the reference deque).
+
+    Dispatches to the C++ monotonic-deque kernel when built (bit-identical;
+    see gaml_tpu/native)."""
+    from ..native import get_lib
+
+    if get_lib() is not None:
+        from ..native import maxhash_window_query
+
+        return maxhash_window_query(np.ascontiguousarray(codes), read_len)
     k = K_INDEX_KMER
     if len(codes) < k or len(codes) < read_len:
         return []

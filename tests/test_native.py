@@ -1,0 +1,117 @@
+"""Native C++ kernels vs the Python implementations — bit-identical."""
+import os
+
+import numpy as np
+import pytest
+
+from gaml_tpu import native
+from gaml_tpu.core import dna
+
+from fixtures import make_linear_graph, random_seq
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native lib unavailable")
+
+
+def _py_window_fingerprints(codes, read_len):
+    os.environ["GAML_TPU_NO_NATIVE"] = "1"
+    try:
+        # bypass the native dispatch by calling the numpy body directly
+        from gaml_tpu.index import maxhash as mh
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        k = mh.K_INDEX_KMER
+        if len(codes) < k or len(codes) < read_len:
+            return []
+        h = mh.hash_kmers(mh.pack_kmers(codes, k))
+        w = read_len - k + 1
+        if w <= 0:
+            return []
+        wins = sliding_window_view(h, w)
+        maxv = wins.max(axis=1)
+        argm = wins.argmax(axis=1)
+        out = []
+        last = None
+        for s in range(len(wins)):
+            v = int(maxv[s])
+            if last is None or v != last:
+                out.append((v, int(s + argm[s] + k - 1)))
+                last = v
+        return out
+    finally:
+        del os.environ["GAML_TPU_NO_NATIVE"]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_native_maxhash_matches_python(seed):
+    rng = np.random.default_rng(seed)
+    codes = dna.encode_seq(random_seq(rng, 500))
+    for read_len in (20, 35, 101):
+        assert native.maxhash_window_query(codes, read_len) == \
+            _py_window_fingerprints(codes, read_len)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_native_process_hit_matches_python(seed):
+    from gaml_tpu.align.bfs import process_hit
+
+    rng = np.random.default_rng(100 + seed)
+    seq = dna.encode_seq(random_seq(rng, 400))
+    triples = []
+    for _ in range(60):
+        rlen = int(rng.integers(25, 60))
+        pos = int(rng.integers(0, len(seq) - rlen))
+        read = seq[pos:pos + rlen].copy()
+        for _ in range(int(rng.integers(0, 4))):
+            i = int(rng.integers(0, len(read)))
+            roll = rng.random()
+            if roll < 0.6:
+                read[i] = (read[i] + 1 + int(rng.integers(0, 3))) % 4
+            elif roll < 0.8 and len(read) > 25:
+                read = np.delete(read, i)
+            else:
+                read = np.insert(read, i, int(rng.integers(0, 4)))
+        # pick an exact seed if any
+        hay = seq.tobytes()
+        for rp in range(len(read) - 15 + 1):
+            gp = hay.find(read[rp:rp + 15].tobytes())
+            if gp >= 0:
+                triples.append((gp, rp, read))
+                break
+    assert triples
+    got = native.process_hit_batch(seq, triples)
+    for (g0, r0, read), res in zip(triples, got):
+        expect = process_hit(g0, r0, read, seq)
+        if expect is None:
+            assert res is None
+        else:
+            assert res == (expect[0], expect[1])
+
+
+def test_native_reachability_matches_python():
+    rng = np.random.default_rng(9)
+    gr, _ = make_linear_graph(rng, [600, 50, 700, 60, 800])
+    gr.add_arc(0, 4)  # extra edge
+
+    import copy
+
+    gr_py = copy.deepcopy(gr)
+    os.environ["GAML_TPU_NO_NATIVE"] = "1"
+    try:
+        import gaml_tpu.native as nat
+
+        # force python fallback by monkeypatching get_lib via env is not
+        # enough (lib cached); call the python bodies through a fresh path
+        nat_lib = nat._lib
+        nat._lib = None
+        nat._tried = True
+        gr_py.calc_reachability_limit(200)
+        gr_py.calc_reachability_big(500)
+        nat._lib = nat_lib
+    finally:
+        del os.environ["GAML_TPU_NO_NATIVE"]
+
+    gr.calc_reachability_limit(200)
+    gr.calc_reachability_big(500)
+    assert gr.reach_limit == gr_py.reach_limit
+    assert gr.reach_big == gr_py.reach_big
