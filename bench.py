@@ -85,8 +85,25 @@ def main():
     )
     import functools
 
-    fn = jax.jit(functools.partial(single_end_forward, rmax=st["rmax"],
-                                   n_reads=n_reads))
+    use_pallas = os.environ.get("GAML_USE_PALLAS", "1") == "1" and \
+        jax.devices()[0].platform not in ("cpu",)
+    if use_pallas:
+        from gaml_tpu.ops.score import single_end_forward_pallas
+
+        def t32(a):
+            return jnp.asarray(np.ascontiguousarray(a.T).astype(np.int32))
+
+        args = (
+            t32(st["read_f"]), jnp.asarray(st["rlen_f"][None, :]),
+            t32(st["gwin_f"]), jnp.asarray(st["glen_f"][None, :]),
+            t32(st["read_b"]), jnp.asarray(st["rlen_b"][None, :]),
+            t32(st["gwin_b"]), jnp.asarray(st["glen_b"][None, :]),
+        ) + args[8:]
+        fn = functools.partial(single_end_forward_pallas, rmax=st["rmax"],
+                               n_reads=n_reads)
+    else:
+        fn = jax.jit(functools.partial(single_end_forward, rmax=st["rmax"],
+                                       n_reads=n_reads))
     # compile + warmup
     tc = time.time()
     score, zeros, _ = fn(*args)

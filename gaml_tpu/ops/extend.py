@@ -44,21 +44,36 @@ SENT_READ = 6    # read padding sentinel
 SENT_GEN = 8     # out-of-genome sentinel (never equals any read code)
 
 
+INVALID_A = 100
+
+
 def _dp_rows(read_arr, rlen_eff, gwin, glen_eff, rmax: int):
-    """Cost-to-accept DP.
+    """Cost-to-accept DP with in-scan accept-offset propagation.
 
     read_arr: [N, rmax] direction-view read codes; rlen_eff: [N];
     gwin: [N, rmax + 2*PAD] with gwin[n, j] = genome_view[j - PAD];
     glen_eff: [N].
 
-    Returns (c0: [N, BAND] costs at row 0, table: [N, rmax+1, BAND]) where
-    table[r] is the cost-to-accept of states in row r (rows >= rlen_eff are
-    the accept region, cost 0).
+    Carries per row both the min cost-to-accept C[r][d] and the *preferred
+    accept offset* A[r][d]: the band offset the reference BFS's
+    deque-ordered search would reach acceptance at, propagated by the
+    tie-break (forced match > substitution > genome-skip > read-skip).
+    Returns (c0, a0): both [N, BAND] at row 0; start state is d=0
+    (index 3).
     """
     n = read_arr.shape[0]
     d_off = jnp.arange(-3, 4)  # [BAND]
 
-    def row_step(c_next, r):
+    def shift_dm1(x, fill):
+        return jnp.concatenate(
+            [jnp.full((n, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+    def shift_dp1(x, fill):
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full((n, 1), fill, x.dtype)], axis=1)
+
+    def row_step(carry, r):
+        c_next, a_next = carry
         # chars on diagonals d=-3..3 at row r: j = r + d + PAD
         chars = jax.lax.dynamic_slice_in_dim(gwin, r + PAD - 3, BAND, axis=1)
         rchar = jax.lax.dynamic_slice_in_dim(read_arr, r, 1, axis=1)  # [N,1]
@@ -69,80 +84,39 @@ def _dp_rows(read_arr, rlen_eff, gwin, glen_eff, rmax: int):
         diag = jnp.where(match & (g_plus_in | last_row), c_next, INF)
         sub = jnp.where(~match & g_plus_in, c_next + 1, INF)
         # read-skip: (r, d) -> (r+1, d-1), so read c_next at d-1
-        c_next_dm1 = jnp.concatenate(
-            [jnp.full((n, 1), INF, c_next.dtype), c_next[:, :-1]], axis=1)
+        c_next_dm1 = shift_dm1(c_next, INF)
         rskip = jnp.where(~match, c_next_dm1 + 1, INF)
         c_row = jnp.minimum(jnp.minimum(diag, sub), rskip)
         # genome-skip within the row: (r, d) -> (r, d+1); relax 3x
         gskip_ok = (~match) & g_plus_in
         for _ in range(3):
-            c_dp1 = jnp.concatenate(
-                [c_row[:, 1:], jnp.full((n, 1), INF, c_row.dtype)], axis=1)
-            c_row = jnp.where(gskip_ok, jnp.minimum(c_row, c_dp1 + 1), c_row)
-        # accept region
-        c_row = jnp.where(r >= rlen_eff[:, None], 0, c_row)
-        return c_row, c_row
+            c_row = jnp.where(gskip_ok,
+                              jnp.minimum(c_row, shift_dp1(c_row, INF) + 1),
+                              c_row)
+        in_accept = r >= rlen_eff[:, None]
+        c_row = jnp.where(in_accept, 0, c_row)
 
-    init = jnp.zeros((n, BAND), dtype=jnp.int32)  # row rmax: accept or unused
+        # tie-break move selection consistent with the final costs
+        take_sub = (~match) & g_plus_in & (c_next == c_row - 1)
+        take_gskip = (~match) & ~take_sub & gskip_ok & \
+            (shift_dp1(c_row, INF) == c_row - 1)
+        take_rskip = (~match) & ~take_sub & ~take_gskip & \
+            (c_next_dm1 == c_row - 1)
+        a_row = jnp.where(match, a_next,
+                          jnp.where(take_sub, a_next,
+                                    jnp.where(take_rskip,
+                                              shift_dm1(a_next, INVALID_A),
+                                              INVALID_A)))
+        for _ in range(4):
+            a_row = jnp.where(take_gskip, shift_dp1(a_row, INVALID_A), a_row)
+        a_row = jnp.where(in_accept, d_off[None, :], a_row)
+        return (c_row, a_row), None
+
+    c_init = jnp.zeros((n, BAND), dtype=jnp.int32)
+    a_init = jnp.broadcast_to(d_off[None, :], (n, BAND)).astype(jnp.int32)
     rows = jnp.arange(rmax - 1, -1, -1)
-    c0, table_rev = jax.lax.scan(row_step, init, rows)
-    # table_rev[i] corresponds to row rmax-1-i; flip to row order, append the
-    # virtual all-zero row rmax for the walk's r+1 lookups.
-    table = jnp.flip(table_rev, axis=0)                  # [rmax, N, BAND]
-    table = jnp.moveaxis(table, 0, 1)                    # [N, rmax, BAND]
-    table = jnp.concatenate(
-        [table, jnp.zeros((n, 1, BAND), dtype=table.dtype)], axis=1)
-    return c0, table
-
-
-def _greedy_walk(read_arr, rlen_eff, gwin, glen_eff, table, rmax: int):
-    """Replicates the BFS tie-break to pick the accept diagonal: at each
-    mismatch prefer substitution, then genome-skip, then read-skip among
-    cost-consistent moves; matches are forced diagonals.  Returns the final
-    offset d (g - r) at acceptance, per candidate."""
-    n = read_arr.shape[0]
-
-    def lookup(tab_n, r, d):
-        # tab_n: [rmax+1, BAND]; d in [-3,3] -> index d+3; out of band = INF
-        idx = jnp.clip(d + 3, 0, BAND - 1)
-        v = tab_n[r, idx]
-        return jnp.where((d >= -3) & (d <= 3), v, INF)
-
-    def step(state, _):
-        r, d, done = state
-        rr = jnp.minimum(r, rmax - 1)
-        rchar = jnp.take_along_axis(read_arr, rr[:, None], axis=1)[:, 0]
-        j = jnp.clip(rr + d + PAD, 0, gwin.shape[1] - 1)
-        gchar = jnp.take_along_axis(gwin, j[:, None], axis=1)[:, 0]
-        match = rchar == gchar
-
-        cur = jax.vmap(lookup)(table, rr, d)
-        nxt = jnp.minimum(rr + 1, rmax)
-        g_plus_in = (rr + d + 1) < glen_eff
-        sub_ok = (~match) & g_plus_in & (jax.vmap(lookup)(table, nxt, d) == cur - 1)
-        gskip_ok = (~match) & g_plus_in & (jax.vmap(lookup)(table, rr, d + 1) == cur - 1)
-        rskip_ok = (~match) & (jax.vmap(lookup)(table, nxt, d - 1) == cur - 1)
-
-        # priority: match(diag) > sub > gskip > rskip
-        take_diag = match
-        take_sub = (~match) & sub_ok
-        take_gskip = (~match) & ~sub_ok & gskip_ok
-        take_rskip = (~match) & ~sub_ok & ~gskip_ok & rskip_ok
-
-        new_r = jnp.where(take_diag | take_sub | take_rskip, r + 1, r)
-        new_d = jnp.where(take_gskip, d + 1, jnp.where(take_rskip, d - 1, d))
-        # stuck (shouldn't happen on optimal paths) -> finish to avoid loops
-        stuck = ~(take_diag | take_sub | take_gskip | take_rskip)
-        new_done = done | (new_r >= rlen_eff) | stuck
-        r = jnp.where(done, r, new_r)
-        d = jnp.where(done, d, new_d)
-        return (r, d, new_done | done), None
-
-    r0 = jnp.zeros(n, dtype=jnp.int32)
-    d0 = jnp.zeros(n, dtype=jnp.int32)
-    done0 = r0 >= rlen_eff
-    (rf, df, _), _ = jax.lax.scan(step, (r0, d0, done0), None, length=rmax + 8)
-    return df
+    (c0, a0), _ = jax.lax.scan(row_step, (c_init, a_init), rows)
+    return c0, a0
 
 
 @functools.partial(jax.jit, static_argnums=(8,))
@@ -155,9 +129,9 @@ def extend_kernel(read_f, rlen_f, gwin_f, glen_f,
     handled by the caller (rlen_b set to 0 there, d unused)."""
     cf, _ = _dp_rows(read_f, rlen_f, gwin_f, glen_f, rmax)
     errs_f = cf[:, 3]
-    cb, table_b = _dp_rows(read_b, rlen_b, gwin_b, glen_b, rmax)
+    cb, ab = _dp_rows(read_b, rlen_b, gwin_b, glen_b, rmax)
     errs_b = cb[:, 3]
-    d_back = _greedy_walk(read_b, rlen_b, gwin_b, glen_b, table_b, rmax)
+    d_back = ab[:, 3]
     ok = (errs_f <= ERROR_LIMIT) & (errs_b <= ERROR_LIMIT)
     return ok, errs_f + errs_b, d_back
 
@@ -181,7 +155,7 @@ def stage_candidates(seq: np.ndarray, g0s: np.ndarray, r0s: np.ndarray,
                               int(r0s.max(initial=1)), 1))
         rmax = _round_up(rmax_needed, 32)
     if nb is None:
-        nb = _round_up(max(n, 1), 64)
+        nb = _round_up(max(n, 1), 128)
 
     read_f = np.full((nb, rmax), SENT_READ, dtype=np.uint8)
     read_b = np.full((nb, rmax), SENT_READ, dtype=np.uint8)

@@ -1,0 +1,144 @@
+"""Pallas TPU kernel for the banded-extension DP.
+
+Same math as ops.extend._dp_rows (cost-to-accept + preferred-accept-offset
+propagation), laid out TPU-natively: candidates occupy the 128-wide lane
+dimension, the +-3 band occupies 8 sublanes (one f32/i32 tile), and the row
+loop walks the read with *static* per-row slices of the transposed inputs —
+no gathers anywhere.  The grid tiles the candidate axis; each program
+processes 128 candidates entirely in VMEM.
+
+Inputs are the transposed int32 views of the stage_candidates arrays:
+    read_t [rmax, N], gwin_t [rmax + 2*PAD, N], rlen/glen [1, N].
+Outputs: c0/a0 [1, N] (cost and preferred accept offset of the start
+state).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .extend import BAND, ERROR_LIMIT, INF, INVALID_A, PAD
+
+LANES = 128
+BAND8 = 8  # band padded to one sublane tile; row 7 (d=+4) is masked off
+
+
+def _dp_kernel(read_ref, gwin_ref, rlen_ref, glen_ref, c_ref, a_ref,
+               *, rmax: int):
+    rlen = rlen_ref[0, :]
+    glen = glen_ref[0, :]
+    d_off = jax.lax.broadcasted_iota(jnp.int32, (BAND8, LANES), 0) - 3
+    band_ok = d_off <= 3  # row 7 is outside the +-3 band
+
+    inf = jnp.full((BAND8, LANES), INF, jnp.int32)
+    invalid = jnp.full((BAND8, LANES), INVALID_A, jnp.int32)
+
+    def shift_dm1(x, fill):
+        return jnp.concatenate([fill[:1], x[:-1]], axis=0)
+
+    def shift_dp1(x, fill):
+        return jnp.concatenate([x[1:], fill[:1]], axis=0)
+
+    def body(it, carry):
+        c_next, a_next = carry
+        r = rmax - 1 - it
+        chars = gwin_ref[pl.ds(r + PAD - 3, BAND8), :]
+        rchar = read_ref[pl.ds(r, 1), :]
+        match = chars == rchar
+        g_plus_in = (r + d_off + 1) < glen[None, :]
+        last_row = (r + 1) == rlen[None, :]
+
+        diag = jnp.where(match & (g_plus_in | last_row), c_next, INF)
+        sub = jnp.where(~match & g_plus_in, c_next + 1, INF)
+        c_next_dm1 = shift_dm1(c_next, inf)
+        rskip = jnp.where(~match, c_next_dm1 + 1, INF)
+        c_row = jnp.minimum(jnp.minimum(diag, sub), rskip)
+        gskip_ok = (~match) & g_plus_in
+        for _ in range(3):
+            c_row = jnp.where(gskip_ok,
+                              jnp.minimum(c_row, shift_dp1(c_row, inf) + 1),
+                              c_row)
+        in_accept = r >= rlen[None, :]
+        c_row = jnp.where(in_accept, 0, c_row)
+        c_row = jnp.where(band_ok, c_row, INF)
+
+        take_sub = (~match) & g_plus_in & (c_next == c_row - 1)
+        take_gskip = (~match) & ~take_sub & gskip_ok & \
+            (shift_dp1(c_row, inf) == c_row - 1)
+        take_rskip = (~match) & ~take_sub & ~take_gskip & \
+            (c_next_dm1 == c_row - 1)
+        a_row = jnp.where(match, a_next,
+                          jnp.where(take_sub, a_next,
+                                    jnp.where(take_rskip,
+                                              shift_dm1(a_next, invalid),
+                                              INVALID_A)))
+        for _ in range(4):
+            a_row = jnp.where(take_gskip, shift_dp1(a_row, invalid), a_row)
+        a_row = jnp.where(in_accept, d_off, a_row)
+        return c_row, a_row
+
+    c_init = jnp.zeros((BAND8, LANES), jnp.int32)
+    a_init = d_off
+    c0, a0 = jax.lax.fori_loop(0, rmax, body, (c_init, a_init))
+    c_ref[0, :] = c0[3, :]
+    a_ref[0, :] = a0[3, :]
+
+
+@functools.partial(jax.jit, static_argnames=("rmax", "interpret"))
+def dp_rows_pallas(read_t, gwin_t, rlen, glen, rmax: int,
+                   interpret: bool = False):
+    """read_t [rmax, N] i32; gwin_t [rmax+2*PAD, N] i32; rlen/glen [1, N].
+    Returns (c0, a0) each [N]."""
+    n = read_t.shape[1]
+    assert n % LANES == 0
+    grid = (n // LANES,)
+    kernel = functools.partial(_dp_kernel, rmax=rmax)
+    c0, a0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rmax, LANES), lambda i: (0, i)),
+            pl.BlockSpec((rmax + 2 * PAD, LANES), lambda i: (0, i)),
+            pl.BlockSpec((1, LANES), lambda i: (0, i)),
+            pl.BlockSpec((1, LANES), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, LANES), lambda i: (0, i)),
+            pl.BlockSpec((1, LANES), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(read_t, gwin_t, rlen, glen)
+    return c0[0], a0[0]
+
+
+def extend_kernel_pallas(st: dict, interpret: bool = False):
+    """Run both directions through the Pallas kernel from a
+    stage_candidates dict.  Returns (ok, errs, d_back) numpy arrays over
+    the padded batch."""
+    rmax = st["rmax"]
+
+    def prep(read, gwin, rlen, glen):
+        read_t = jnp.asarray(np.ascontiguousarray(read.T).astype(np.int32))
+        gwin_t = jnp.asarray(np.ascontiguousarray(gwin.T).astype(np.int32))
+        return (read_t, gwin_t, jnp.asarray(rlen[None, :].astype(np.int32)),
+                jnp.asarray(glen[None, :].astype(np.int32)))
+
+    rf = prep(st["read_f"], st["gwin_f"], st["rlen_f"], st["glen_f"])
+    rb = prep(st["read_b"], st["gwin_b"], st["rlen_b"], st["glen_b"])
+    cf, _af = dp_rows_pallas(rf[0], rf[1], rf[2], rf[3], rmax,
+                             interpret=interpret)
+    cb, ab = dp_rows_pallas(rb[0], rb[1], rb[2], rb[3], rmax,
+                            interpret=interpret)
+    errs_f = np.asarray(cf)
+    errs_b = np.asarray(cb)
+    ok = (errs_f <= ERROR_LIMIT) & (errs_b <= ERROR_LIMIT)
+    return ok, errs_f + errs_b, np.asarray(ab)

@@ -129,7 +129,7 @@ def stage_sharded(seq: np.ndarray, cand_by_read_shard: List[list],
         for c in cands:
             per_cell[ri][c[0] % nc].append(c)
     nb = max(1, max(len(cell) for row in per_cell for cell in row))
-    nb = ((nb + 63) // 64) * 64
+    nb = ((nb + 127) // 128) * 128
 
     cells = []
     for ri in range(nr):
