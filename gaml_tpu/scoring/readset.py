@@ -36,12 +36,14 @@ Subpath = Tuple[int, ...]
 
 class ReadSet:
     def __init__(self, name: str, filename: str, match_prob: float,
-                 mismatch_prob: float, backend: str = "bfs"):
+                 mismatch_prob: float, backend: str = "bfs",
+                 index_kind: str = "maxhash"):
         self.name = name
         self.filename = filename
         self.match_prob = match_prob
         self.mismatch_prob = mismatch_prob
         self.backend = backend
+        self.index_kind = index_kind
 
         self.reads_num = 0
         self.read_map: Dict[str, int] = {}
@@ -84,11 +86,18 @@ class ReadSet:
         self.load_success = True
 
     def prepare_read_index(self) -> None:
-        """Load sequences and build the max-hash index
-        (reference graph.cc:1366-1384)."""
-        from ..index.maxhash import ReadIndexMaxHash
+        """Load sequences and build the read index
+        (reference graph.cc:1366-1384); index_kind selects the max-hash
+        fingerprint index (reference default) or the every-k-mer trivial
+        index (reference alternate, graph.h:437-438)."""
+        if self.index_kind == "trivial":
+            from ..index.trivial import ReadIndexTrivial
 
-        self.index = ReadIndexMaxHash()
+            self.index = ReadIndexTrivial()
+        else:
+            from ..index.maxhash import ReadIndexMaxHash
+
+            self.index = ReadIndexMaxHash()
         for name, seq in iter_fastq(self.filename):
             rid = self.get_read_id(name)
             codes = dna.encode_seq(seq)
