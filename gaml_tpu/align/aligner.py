@@ -133,6 +133,10 @@ class SubpathAligner:
 
     def align_subpath(self, graph, path: Sequence[int]) -> List[Alignment]:
         seq, offset = spell_subpath(graph, path)
+        return self.align_seq(seq, offset)
+
+    def align_seq(self, seq: np.ndarray, offset: int = 0) -> List[Alignment]:
+        """Align all candidate reads against an arbitrary sequence."""
         if len(seq) < self.index.read_len or self.index.read_len == 0:
             return []
         cands = gen_candidates(self.index, self.read_seqs, seq)

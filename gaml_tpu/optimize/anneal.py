@@ -57,7 +57,9 @@ class Optimizer:
     def __init__(self, graph, prob_calc, settings: AssemblySettings,
                  advice_paired=None, advice_pacbio=None,
                  longest_read: int = 100, rng: Optional[GamlRng] = None,
-                 log=print):
+                 log=print, metrics=None, history_jsonl: str = ""):
+        from ..utils.metrics import JsonlLogger, Metrics
+
         self.graph = graph
         self.prob_calc = prob_calc
         self.settings = settings
@@ -66,6 +68,8 @@ class Optimizer:
         self.longest_read = longest_read
         self.rng = rng or GamlRng(settings.seed)
         self.log = log
+        self.metrics = metrics or Metrics()
+        self.jsonl = JsonlLogger(history_jsonl) if history_jsonl else None
         self.itnum = 0
         self.cur_prob = None
         self.best_prob = None
@@ -192,7 +196,8 @@ class Optimizer:
                                  s.output_prefix)
 
         zeros = []
-        new_prob, total_len = self.prob_calc.calc_prob(new_paths, zeros)
+        with self.metrics.timer("rescore"):
+            new_prob, total_len = self.prob_calc.calc_prob(new_paths, zeros)
 
         accept = False
         if new_prob > self.cur_prob or s.do_postprocess:
@@ -222,9 +227,12 @@ class Optimizer:
                  f"new prob {new_prob:.6f} {self.cur_prob:.6f} "
                  f"{self.best_prob:.6f} len {total_len} paths "
                  f"{len(new_paths)} low prob reads {zeros_str}")
-        self.history.append(dict(itnum=self.itnum, T=T, new_prob=new_prob,
-                                 cur_prob=self.cur_prob,
-                                 best_prob=self.best_prob,
-                                 total_len=total_len,
-                                 n_paths=len(new_paths), accept=accept))
+        self.metrics.count("moves.accepted" if accept else "moves.rejected")
+        record = dict(itnum=self.itnum, T=T, new_prob=new_prob,
+                      cur_prob=self.cur_prob, best_prob=self.best_prob,
+                      total_len=total_len, n_paths=len(new_paths),
+                      accept=accept)
+        self.history.append(record)
+        if self.jsonl is not None:
+            self.jsonl.write(record)
         return paths

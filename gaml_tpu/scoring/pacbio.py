@@ -373,6 +373,68 @@ class PacbioReadSet:
                      al.logprob))
         return self.positions2, total_len
 
+    def get_exact_read_probabilities(self, graph, path: Sequence[int],
+                                     ps: int):
+        """Positions from subpaths starting before index ``ps`` only
+        (reference GetExactReadProbabilities, graph.cc:2299-2408; caller
+        CalcExactScoreForPacbio is commented out there but the method is
+        live surface).  Returns (positions, total_len, total_len2);
+        positions carry *subpath-local* start positions, faithfully to the
+        reference (no pos_begin offset there)."""
+        path = list(path)
+        begins, ends = [], []
+        seq_len = 0
+        back_length = 0
+        total_len2 = 0
+        for idx, e in enumerate(path):
+            begins.append(seq_len)
+            ln = graph.node_len(e)
+            if idx == 0 or idx < ps:
+                total_len2 += ln
+            else:
+                back_length += ln
+            seq_len += ln
+            ends.append(seq_len)
+        total_len = seq_len
+        total_len2 += min(self.max_read_len // 3, back_length)
+
+        missing = []
+        for i in range(len(path)):
+            subpath = []
+            for j in range(i, len(path)):
+                subpath.append(path[j])
+                if tuple(subpath) not in self.aligment_cache:
+                    missing.append((i, j))
+                if ends[j] - begins[i] - (ends[i] - begins[i]) > self.max_read_len:
+                    break
+        if missing:
+            missing.sort()
+            last_end = -47
+            last_begin = -47
+            for a, b in missing:
+                if a > last_end:
+                    if last_end != -47:
+                        self.get_read_probabilities_slow(
+                            graph, path[last_begin:last_end + 1])
+                    last_begin, last_end = a, b
+                last_end = max(last_end, b)
+            if last_end != -47:
+                self.get_read_probabilities_slow(
+                    graph, path[last_begin:last_end + 1])
+
+        positions: List[List[Tuple[int, float]]] = \
+            [[] for _ in range(self.reads_num)]
+        for i in range(min(len(path), ps)):
+            subpath = []
+            for j in range(i, len(path)):
+                subpath.append(path[j])
+                key = tuple(subpath)
+                for al in self.aligment_cache.get(key, ()):
+                    positions[al.read_id].append((al.position, al.logprob))
+                if ends[j] - begins[i] - (ends[i] - begins[i]) > self.max_read_len:
+                    break
+        return positions, total_len, total_len2
+
     # ------------------------------------------------------------------ gaps
     def get_gap(self, graph, first: int, second: int, read_id: int) -> int:
         """Implied gap length between two nodes from one spanning read

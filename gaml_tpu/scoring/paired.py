@@ -77,6 +77,46 @@ def _pair_product(read_set1, read_set2, rid: int, x_pos: int, x_ed: int,
     return p1 * p2 * insert_prob(dist, table, insert_mean, insert_std), dist
 
 
+def calc_score_for_path_paired_legacy(graph, path, read_set1, read_set2,
+                                      insert_mean: float, insert_std: float,
+                                      use_caching: bool = True):
+    """Single-walk debug scorer (reference CalcScoreForPath paired,
+    graph.cc:1600-1648).  Dead in the reference driver but part of the
+    public surface; note its *different* distance convention
+    (dist = far - near - near-mate length, no innie geometry check beyond
+    opposite orientations) and the legacy log10 reduction."""
+    from .reduce import get_total_prob_legacy
+
+    assert read_set1.get_number_of_reads() == read_set2.get_number_of_reads()
+    if use_caching:
+        positions1, tl1 = read_set1.get_positions(graph, path)
+        positions2, tl2 = read_set2.get_positions(graph, path)
+    else:
+        positions1, tl1 = read_set1.get_positions_slow(graph, path)
+        positions2, tl2 = read_set2.get_positions_slow(graph, path)
+    assert tl1 == tl2
+    table = insert_prob_table(insert_mean, insert_std)
+    n = read_set1.get_number_of_reads()
+    read_probs = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        for x_pos, (x_ed, x_or) in positions1[i]:
+            p1 = (read_set1.mismatch_probs[x_ed] *
+                  read_set1.match_probs[read_set1.get_read_len(i) - x_ed])
+            for y_pos, (y_ed, y_or) in positions2[i]:
+                if x_or == y_or:
+                    continue
+                p2 = (read_set2.mismatch_probs[y_ed] *
+                      read_set2.match_probs[read_set2.get_read_len(i) - y_ed])
+                if x_pos < y_pos:
+                    dist = y_pos - x_pos - read_set1.get_read_len(i)
+                else:
+                    dist = x_pos - y_pos - read_set2.get_read_len(i)
+                read_probs[i] += p1 * p2 * insert_prob(
+                    dist, table, insert_mean, insert_std)
+    score, _zero = get_total_prob_legacy(read_probs, tl1)
+    return score
+
+
 def calc_score_for_paths_paired(graph, paths, read_set1, read_set2,
                                 insert_mean: float, insert_std: float,
                                 no_cov_penalty: float = 0.0,
