@@ -60,36 +60,76 @@ def spell_subpath(graph, path: Sequence[int]) -> Tuple[np.ndarray, int]:
     return (np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)), offset
 
 
-def find_seed_in_read(read: np.ndarray, seq: np.ndarray, genome_pos: int) -> int:
+def find_seed_in_read(read: np.ndarray, seq: np.ndarray, genome_pos: int,
+                      read_kmers: np.ndarray = None,
+                      target_kmer: int = None) -> int:
     """First read position whose 15-mer equals the window 15-mer at
-    genome_pos (reference scan, graph.cc:873-884)."""
+    genome_pos (reference scan, graph.cc:873-884), vectorized over packed
+    k-mers."""
+    from ..index.maxhash import pack_kmers
+
     k = K_INDEX_KMER
-    target = seq[genome_pos:genome_pos + k]
-    n = len(read) - k + 1
-    for i in range(n):
-        if np.array_equal(read[i:i + k], target):
-            return i
-    return -1
+    if target_kmer is None:
+        packed = pack_kmers(seq[genome_pos:genome_pos + k], k)
+        if len(packed) == 0:
+            return -1
+        target_kmer = packed[0]
+    kmers = read_kmers if read_kmers is not None else pack_kmers(read, k)
+    if len(kmers) == 0:
+        return -1
+    hits = kmers == target_kmer
+    idx = int(np.argmax(hits))
+    return idx if hits[idx] else -1
+
+
+class _ReadCache:
+    """Oriented read codes + packed k-mers, cached per (read_id, orient)."""
+
+    def __init__(self, read_seqs: Dict[int, np.ndarray]):
+        self.read_seqs = read_seqs
+        self._cache: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+
+    def get(self, rid: int, orient: int):
+        key = (rid, orient)
+        hit = self._cache.get(key)
+        if hit is None:
+            from ..index.maxhash import pack_kmers
+
+            read = self.read_seqs[rid]
+            if orient:
+                read = dna.revcomp(read)
+            hit = (read, pack_kmers(read, K_INDEX_KMER))
+            self._cache[key] = hit
+        return hit
 
 
 def gen_candidates(index: ReadIndexMaxHash, read_seqs: Dict[int, np.ndarray],
-                   seq: np.ndarray) -> List[Tuple[Candidate, np.ndarray]]:
+                   seq: np.ndarray,
+                   read_cache: "_ReadCache" = None) -> List[Tuple[Candidate, np.ndarray]]:
     """Candidates in deterministic order (read_id asc, hit order).  The
     reference iterates an unordered_map (platform-defined order) — order only
     affects which duplicate wins the (position, read_id) dedup."""
+    from ..index.maxhash import pack_kmers
+
     cands = index.get_read_cands_with_poses(seq)
+    if not cands:
+        return []
+    cache = read_cache or _ReadCache(read_seqs)
+    seq_kmers = pack_kmers(seq)  # packed once per window
     out: List[Tuple[Candidate, np.ndarray]] = []
     for rid in sorted(cands):
         for e2 in cands[rid]:
             if e2 > 0:
                 genome_pos = e2 - K_INDEX_KMER + 1
-                read = read_seqs[rid]
+                read, kmers = cache.get(rid, 0)
                 orient = 0
+                target = seq_kmers[genome_pos]
             else:
                 genome_pos = len(seq) + e2 - 1
-                read = dna.revcomp(read_seqs[rid])
+                read, kmers = cache.get(rid, 1)
                 orient = 1
-            read_pos = find_seed_in_read(read, seq, genome_pos)
+                target = seq_kmers[genome_pos]
+            read_pos = find_seed_in_read(read, seq, genome_pos, kmers, target)
             assert read_pos != -1, "max-hash candidate without exact seed"
             out.append((Candidate(rid, genome_pos, read_pos, orient), read))
     return out
@@ -104,6 +144,7 @@ class SubpathAligner:
         self.read_seqs = read_seqs
         self.backend = backend
         self._device = None
+        self._read_cache = _ReadCache(read_seqs)
 
     def _extend_all(self, seq: np.ndarray,
                     cands: List[Tuple[Candidate, np.ndarray]]):
@@ -139,7 +180,8 @@ class SubpathAligner:
         """Align all candidate reads against an arbitrary sequence."""
         if len(seq) < self.index.read_len or self.index.read_len == 0:
             return []
-        cands = gen_candidates(self.index, self.read_seqs, seq)
+        cands = gen_candidates(self.index, self.read_seqs, seq,
+                               self._read_cache)
         results = self._extend_all(seq, cands)
         current: Dict[Tuple[int, int], Alignment] = {}
         for (cand, _read), (ok, errs, begin) in zip(cands, results):

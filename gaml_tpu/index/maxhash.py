@@ -45,13 +45,15 @@ def pack_kmers(codes: np.ndarray, k: int = K_INDEX_KMER) -> np.ndarray:
     if n <= 0:
         return np.zeros(0, dtype=np.uint64)
     vals = np.where(codes < 4, codes, 0).astype(np.uint64)
-    # prefix "polynomial" with base 4 via cumulative shifts
-    out = np.zeros(n, dtype=np.uint64)
-    acc = np.zeros(n, dtype=np.uint64)
-    for j in range(k):
-        acc = (acc << np.uint64(2)) | vals[j:j + n]
-    out = acc & _KMER_MASK
-    return out
+    # rolling 2-bit pack with in-place ops (hot path: called per read and
+    # per subpath window)
+    acc = vals[:n].copy()
+    two = np.uint64(2)
+    for j in range(1, k):
+        acc <<= two
+        np.bitwise_or(acc, vals[j:j + n], out=acc)
+    acc &= _KMER_MASK
+    return acc
 
 
 def hash_kmers(kmers: np.ndarray) -> np.ndarray:
@@ -107,6 +109,22 @@ def window_max_fingerprints(codes: np.ndarray, read_len: int) -> List[Tuple[int,
     return out
 
 
+def maxhash_of_reads_batch(codes_2d: np.ndarray) -> np.ndarray:
+    """Fingerprints of a [n_reads, read_len] code matrix in one pass."""
+    n, L = codes_2d.shape
+    k = K_INDEX_KMER
+    m = L - k + 1
+    if m <= 0:
+        return np.zeros(n, dtype=np.uint64)
+    vals = np.where(codes_2d < 4, codes_2d, 0).astype(np.uint64)
+    acc = np.zeros((n, m), dtype=np.uint64)
+    for j in range(k):
+        acc = (acc << np.uint64(2)) | vals[:, j:j + m]
+    acc &= _KMER_MASK
+    acc ^= HASH_XOR
+    return np.maximum(np.uint64(0), acc.max(axis=1))
+
+
 class ReadIndexMaxHash:
     """Fingerprint -> read-id lists, plus the query machinery."""
 
@@ -119,6 +137,20 @@ class ReadIndexMaxHash:
             return
         self.index.setdefault(maxhash_of_read(codes), []).append(read_id)
         self.read_len = len(codes)
+
+    def add_reads_batch(self, codes_list, read_ids) -> None:
+        """Bulk insertion; uniform-length ACGT reads take the vectorized
+        path, the rest fall back to add_read."""
+        uniform = {}
+        for codes, rid in zip(codes_list, read_ids):
+            if dna.is_acgt(codes):
+                uniform.setdefault(len(codes), []).append((codes, rid))
+        for L, group in uniform.items():
+            mat = np.stack([c for c, _ in group])
+            fps = maxhash_of_reads_batch(mat)
+            for (c, rid), fp in zip(group, fps):
+                self.index.setdefault(int(fp), []).append(rid)
+            self.read_len = L
 
     def get_read_cands_with_poses(self, seq_codes: np.ndarray) -> Dict[int, List[int]]:
         """read_id -> list of signed seed positions (k-mer end index;

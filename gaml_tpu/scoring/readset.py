@@ -98,11 +98,18 @@ class ReadSet:
             from ..index.maxhash import ReadIndexMaxHash
 
             self.index = ReadIndexMaxHash()
+        codes_list, rid_list = [], []
         for name, seq in iter_fastq(self.filename):
             rid = self.get_read_id(name)
             codes = dna.encode_seq(seq)
             self.read_seqs[rid] = codes
-            self.index.add_read(codes, rid)
+            codes_list.append(codes)
+            rid_list.append(rid)
+        if hasattr(self.index, "add_reads_batch"):
+            self.index.add_reads_batch(codes_list, rid_list)
+        else:
+            for codes, rid in zip(codes_list, rid_list):
+                self.index.add_read(codes, rid)
         self.aligner = SubpathAligner(self.index, self.read_seqs, self.backend)
 
     def calc_max_read_len(self) -> None:
