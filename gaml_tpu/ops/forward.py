@@ -36,6 +36,99 @@ def _affine_combine(left, right):
 @functools.partial(jax.jit, static_argnames=("rmax", "width"))
 def banded_forward(genome, reads, rlens, centers, gstarts, glens,
                    log_match, log_mismatch, rmax: int, width: int):
+    """Gather-free banded forward DP (the TPU-shaped formulation).
+
+    The guide path is consumed as per-row steps delta in {0,1,2} (host
+    clips raw center jumps; the band catches up at <=2 columns/row), so
+    the previous row and the rolling genome-char window advance by
+    *statically selected shifts* — per row the only memory traffic beyond
+    the carries is a [B, 2] fetch of the chars entering the band's right
+    edge.  Same signature/semantics as the reference formulation
+    (banded_forward_gather), which remains for cross-validation.
+    """
+    b = reads.shape[0]
+    glen_total = genome.shape[0]
+    # effective centers: cumulative clipped steps from centers[:,0]
+    raw_steps = jnp.clip(jnp.diff(centers, axis=1), 0, 2)  # [B, rmax]
+    base0 = centers[:, 0] - width // 2
+
+    def g_at(idx):
+        safe = jnp.clip(idx, 0, glen_total - 1)
+        ch = genome[safe]
+        return jnp.where((idx >= 0) & (idx < glen_total), ch, 9)
+
+    offs = jnp.arange(width)
+    # cw[o] = genome char consumed by diag/left at lane o = genome[base+o-1]
+    cw0 = g_at(base0[:, None] + offs[None, :] - 1)
+    g0_cells = base0[:, None] + offs[None, :]
+    in0 = (g0_cells >= gstarts[:, None]) & \
+          (g0_cells < (gstarts + glens)[:, None])
+    m0 = jnp.where(in0, 0.0, NEG)
+
+    def shiftl(x, k, fills):
+        # shift lanes left by k, filling the right edge from fills[:, -k:]
+        if k == 0:
+            return x
+        return jnp.concatenate([x[:, k:], fills[:, -k:]], axis=1)
+
+    def row_step(carry, j):
+        m_prev, cw, base = carry
+        delta = jax.lax.dynamic_slice_in_dim(raw_steps, j - 1, 1, axis=1)[:, 0]
+        base_new = base + delta
+
+        # chars entering the right edge of the cw window
+        fetch = jnp.stack([g_at(base_new + width - 3),
+                           g_at(base_new + width - 2)], axis=1)
+        cw_variants = [cw, shiftl(cw, 1, fetch), shiftl(cw, 2, fetch)]
+        cw_new = jnp.where((delta == 0)[:, None], cw_variants[0],
+                           jnp.where((delta == 1)[:, None], cw_variants[1],
+                                     cw_variants[2]))
+
+        neg_fill = jnp.full((b, 3), NEG)
+        # m_prev at lane offset o+delta (up) and o+delta-1 (diag)
+        m_shifts = [shiftl(m_prev, k, neg_fill) if k >= 0 else
+                    jnp.concatenate([jnp.full((b, 1), NEG), m_prev[:, :-1]],
+                                    axis=1)
+                    for k in (-1, 0, 1, 2)]
+
+        def sel(kvec):  # kvec in {-1,0,1,2} per batch item
+            out = m_shifts[0]
+            for i, k in enumerate((-1, 0, 1, 2)):
+                out = jnp.where((kvec == k)[:, None], m_shifts[i], out)
+            return out
+
+        up = sel(delta)
+        diag = sel(delta - 1)
+
+        rchar = jax.lax.dynamic_slice_in_dim(reads, j - 1, 1, axis=1)[:, 0]
+        s_diag = jnp.where(cw_new == rchar[:, None], log_match, log_mismatch)
+        s_diag = jnp.where(cw_new >= 8, NEG, s_diag)
+
+        g_cells = base_new[:, None] + offs[None, :]
+        in_target = (g_cells >= gstarts[:, None]) & \
+                    (g_cells < (gstarts + glens)[:, None])
+        base_val = jnp.logaddexp(diag + s_diag, up + log_mismatch)
+        base_val = jnp.where(in_target, base_val, NEG)
+
+        gap_cost = jnp.where(in_target & (cw_new < 8), log_mismatch, NEG)
+        _, x = jax.lax.associative_scan(_affine_combine, (gap_cost, base_val),
+                                        axis=1)
+        m_cur = x
+        active = (j <= rlens)[:, None]
+        m_cur = jnp.where(active, m_cur, m_prev)
+        cw_new = jnp.where(active, cw_new, cw)
+        base_new = jnp.where(j <= rlens, base_new, base)
+        return (m_cur, cw_new, base_new), None
+
+    rows = jnp.arange(1, rmax + 1)
+    (m_final, _, _), _ = jax.lax.scan(row_step, (m0, cw0, base0), rows)
+    out = jax.scipy.special.logsumexp(m_final, axis=1)
+    return jnp.where(rlens > 0, out, NEG)
+
+
+@functools.partial(jax.jit, static_argnames=("rmax", "width"))
+def banded_forward_gather(genome, reads, rlens, centers, gstarts, glens,
+                          log_match, log_mismatch, rmax: int, width: int):
     """Batched banded forward DP.
 
     genome: [G] uint8 buffer (concatenated targets); reads: [B, rmax] uint8

@@ -44,6 +44,34 @@ def run_banded(genome, read, centers, width=64):
     return float(out[0])
 
 
+def test_gatherfree_matches_gather_formulation():
+    """The delta-select formulation must agree with the gather formulation
+    whenever the guide steps are already in {0,1,2}."""
+    import jax.numpy as jnp
+
+    from gaml_tpu.ops.forward import banded_forward_gather
+
+    rng = np.random.default_rng(9)
+    genome = dna.encode_seq(random_seq(rng, 300))
+    for trial in range(4):
+        read = noisy_copy(rng, genome[40:240], err=0.1)
+        rmax = len(read)
+        # unit-step centers with occasional stalls/doubles
+        steps = rng.choice([0, 1, 1, 1, 2], size=rmax)
+        centers = np.concatenate([[40], 40 + np.cumsum(steps)]).astype(np.int32)
+        reads = np.full((1, rmax), 6, dtype=np.uint8)
+        reads[0] = read
+        c = centers[None, :]
+        args = (jnp.asarray(genome), jnp.asarray(reads),
+                jnp.asarray(np.array([rmax], dtype=np.int32)),
+                jnp.asarray(c), jnp.asarray(np.zeros(1, np.int32)),
+                jnp.asarray(np.array([len(genome)], np.int32)),
+                float(np.log(MATCH)), float(np.log(MISMATCH)))
+        new = float(banded_forward(*args, rmax, 64)[0])
+        old = float(banded_forward_gather(*args, rmax, 64)[0])
+        assert new == pytest.approx(old, rel=1e-5), trial
+
+
 def test_banded_matches_full_small():
     """Genome small enough that a wide band covers the full matrix."""
     rng = np.random.default_rng(0)
