@@ -212,12 +212,13 @@ class PacbioReadSet:
 
     # ----------------------------------------------------- alignment (slow)
     def _forward_batch(self, seq: np.ndarray, jobs):
-        """jobs: list of (read codes, centers).  Returns logprobs list."""
+        """jobs: list of (read codes, centers).  Returns logprobs list.
+        Dispatches to the Pallas TPU kernel on accelerator backends, the
+        jnp kernel elsewhere."""
         if not jobs:
             return []
+        import jax
         import jax.numpy as jnp
-
-        from ..ops.forward import banded_forward
 
         rmax = max(len(r) for r, _c in jobs)
         rmax = ((rmax + 127) // 128) * 128
@@ -230,6 +231,22 @@ class PacbioReadSet:
             rlens[i] = len(r)
             centers[i, :len(c)] = c
             centers[i, len(c):] = c[-1]
+
+        use_pallas = jax.devices()[0].platform not in ("cpu",) and \
+            self.forward_width in (0, 64, 128)
+        if use_pallas:
+            from ..ops.forward_pallas import banded_forward_pallas
+
+            out = banded_forward_pallas(
+                seq, reads, rlens, centers,
+                np.zeros(b, dtype=np.int32),
+                np.full(b, len(seq), dtype=np.int32),
+                float(np.log(self.match_prob)),
+                float(np.log(self.mismatch_prob)), rmax)
+            return [float(x) for x in out]
+
+        from ..ops.forward import banded_forward
+
         out = banded_forward(
             jnp.asarray(seq), jnp.asarray(reads), jnp.asarray(rlens),
             jnp.asarray(centers),
