@@ -30,22 +30,48 @@ class ChainAlignment(NamedTuple):
     anchors: List[Tuple[int, int]]  # (tpos, qpos) chain, ascending
 
 
+MAX_KMER_OCC = 64  # skip k-mers this repetitive in the target
+
+
+class SortedKmerIndex:
+    """Sorted-array k-mer index supporting fully vectorized queries
+    (searchsorted instead of per-k-mer dict lookups)."""
+
+    def __init__(self, target: np.ndarray, k: int = SEED_K):
+        from ..index.maxhash import pack_kmers
+
+        self.k = k
+        tk = pack_kmers(target, k)
+        self.order = np.argsort(tk, kind="stable").astype(np.int64)
+        self.sorted_vals = tk[self.order]
+
+    def hits(self, query: np.ndarray):
+        """(tpos, qpos) int64 arrays of exact k-mer matches."""
+        from ..index.maxhash import pack_kmers
+
+        qk = pack_kmers(query, self.k)
+        if len(qk) == 0 or len(self.sorted_vals) == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        left = np.searchsorted(self.sorted_vals, qk, "left")
+        right = np.searchsorted(self.sorted_vals, qk, "right")
+        counts = np.minimum(right - left, MAX_KMER_OCC)
+        total = int(counts.sum())
+        if total == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        qpos = np.repeat(np.arange(len(qk), dtype=np.int64), counts)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = (np.arange(total, dtype=np.int64) -
+               np.repeat(offsets, counts) + np.repeat(left, counts))
+        tpos = self.order[idx]
+        return tpos, qpos
+
+
 def _kmer_hits(target: np.ndarray, query: np.ndarray, k: int = SEED_K):
-    """Exact k-mer matches (tpos, qpos), via a dict index of the target."""
+    """Exact k-mer matches (tpos, qpos) via the sorted index."""
     if len(target) < k or len(query) < k:
         return []
-    from ..index.maxhash import pack_kmers
-
-    tk = pack_kmers(target, k)
-    qk = pack_kmers(query, k)
-    index = {}
-    for i, v in enumerate(tk):
-        index.setdefault(int(v), []).append(i)
-    hits = []
-    for j, v in enumerate(qk):
-        for i in index.get(int(v), ()):
-            hits.append((i, j))
-    return hits
+    tpos, qpos = SortedKmerIndex(target, k).hits(query)
+    return list(zip(tpos.tolist(), qpos.tolist()))
 
 
 def chain_hits(hits: List[Tuple[int, int]], max_diag_drift: int = 100,
@@ -93,13 +119,21 @@ def chain_hits(hits: List[Tuple[int, int]], max_diag_drift: int = 100,
 
 
 def align_long_read(target: np.ndarray, read: np.ndarray,
-                    min_seeds: int = 3) -> List[ChainAlignment]:
+                    min_seeds: int = 3,
+                    index: SortedKmerIndex = None) -> List[ChainAlignment]:
     """Chained alignments of a read against a target, both strands.
     Reverse-strand chains carry strand=1 with coordinates in the
-    *reverse-complemented read's* frame."""
+    *reverse-complemented read's* frame.  Pass a prebuilt SortedKmerIndex
+    of the target when aligning many reads against the same sequence."""
+    if len(read) < SEED_K or len(target) < SEED_K:
+        return []
+    if index is None:
+        index = SortedKmerIndex(target)
     out = []
     for strand, q in ((0, read), (1, dna.revcomp(read))):
-        for ch in chain_hits(_kmer_hits(target, q), min_seeds=min_seeds):
+        tpos, qpos = index.hits(q)
+        hits = list(zip(tpos.tolist(), qpos.tolist()))
+        for ch in chain_hits(hits, min_seeds=min_seeds):
             out.append(ch._replace(strand=strand))
     out.sort(key=lambda c: -c.n_seeds)
     return out

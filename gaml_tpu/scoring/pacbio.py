@@ -172,30 +172,47 @@ class PacbioReadSet:
                 self.anchors_reverse.setdefault(r, set()).add(node)
 
     def _compute_anchors_fresh(self, graph) -> None:
-        # concatenated buffer of all anchor-eligible nodes with an id map
+        # one concatenated buffer of all anchor-eligible nodes + a single
+        # sorted k-mer index; each read queried once per strand, hits
+        # grouped by node (fully vectorized, no per-k-mer Python)
+        from ..align.longread import SortedKmerIndex
+
         node_ids = [i for i in range(graph.num_nodes)
                     if graph.node_len(i) >= K_MIN_ANCHOR_LEN]
         if not node_ids or self.reads_num == 0:
             return
-        from ..index.maxhash import pack_kmers
-
-        index: Dict[int, List[Tuple[int, int]]] = {}
-        for nid in node_ids:
-            seq = graph.seqs[nid]
-            for off, v in enumerate(pack_kmers(seq, SEED_K)):
-                index.setdefault(int(v), []).append((nid, off))
+        starts = np.zeros(len(node_ids) + 1, dtype=np.int64)
+        for i, nid in enumerate(node_ids):
+            starts[i + 1] = starts[i] + graph.node_len(nid)
+        buffer = np.concatenate([graph.seqs[nid] for nid in node_ids])
+        index = SortedKmerIndex(buffer, SEED_K)
 
         for rid in range(self.reads_num):
             for strand, q in ((0, self.read_seq[rid]),
                               (1, dna.revcomp(self.read_seq[rid]))):
                 if len(q) < SEED_K:
                     continue
-                qk = pack_kmers(q, SEED_K)
-                per_node: Dict[int, List[Tuple[int, int]]] = {}
-                for j, v in enumerate(qk):
-                    for nid, off in index.get(int(v), ()):
-                        per_node.setdefault(nid, []).append((off, j))
-                for nid, hits in per_node.items():
+                tpos, qpos = index.hits(q)
+                if len(tpos) == 0:
+                    continue
+                node_i = np.searchsorted(starts, tpos, "right") - 1
+                valid = tpos + SEED_K <= starts[node_i + 1]
+                tpos, qpos, node_i = tpos[valid], qpos[valid], node_i[valid]
+                off = tpos - starts[node_i]
+                order = np.argsort(node_i, kind="stable")
+                node_s = node_i[order]
+                off_s = off[order]
+                qpos_s = qpos[order]
+                bounds = np.nonzero(np.concatenate(
+                    [[True], node_s[1:] != node_s[:-1]]))[0]
+                bounds = np.concatenate([bounds, [len(node_s)]])
+                for bi in range(len(bounds) - 1):
+                    a, bnd = bounds[bi], bounds[bi + 1]
+                    if bnd - a < 3:
+                        continue
+                    nid = node_ids[int(node_s[a])]
+                    hits = list(zip(off_s[a:bnd].tolist(),
+                                    qpos_s[a:bnd].tolist()))
                     chains = chain_hits(hits, min_seeds=3)
                     if not chains:
                         continue
@@ -311,9 +328,13 @@ class PacbioReadSet:
         positions: List[List[Tuple[int, float]]] = [[] for _ in range(self.reads_num)]
         jobs = []
         meta = []
+        from ..align.longread import SortedKmerIndex
+
+        seq_index = SortedKmerIndex(seq) if len(seq) >= SEED_K else None
         for rid in sorted(read_filter):
             read = self.read_seq[rid]
-            for chain in align_long_read(seq, read, min_seeds=3):
+            for chain in align_long_read(seq, read, min_seeds=3,
+                                         index=seq_index):
                 q = read if chain.strand == 0 else dna.revcomp(read)
                 centers = guide_path(chain, len(q), len(seq))
                 jobs.append((q, centers))
