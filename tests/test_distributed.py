@@ -35,7 +35,11 @@ if pid == 0:
 
 
 def test_two_process_allgather(tmp_path):
-    port = "8476"
+    import socket
+
+    with socket.socket() as s:  # pick a free port to avoid collisions
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
