@@ -98,6 +98,26 @@ def walk_coord_line(gr: Graph, path: Sequence[int], cid: int) -> str:
     return "".join(pieces)
 
 
+def output_paths_to_console(paths: Sequence[Sequence[int]], gr: Graph,
+                            threshold: int, color: bool = True) -> str:
+    """Pretty-print walks with long nodes highlighted (reference
+    OutputPathsToConsole, input_output.cc:11-20).  Returns the string and
+    prints it."""
+    green, reset = ("\x1b[32m", "\x1b[0m") if color else ("", "")
+    parts = []
+    for p in paths:
+        bits = []
+        for j, e in enumerate(p):
+            txt = f"{e}"
+            if e >= 0 and gr.node_len(e) > threshold:
+                txt = f"{green}{e}{reset}"
+            bits.append(txt)
+        parts.append("(" + ",".join(bits) + ")")
+    out = " ".join(parts)
+    print(out)
+    return out
+
+
 def output_paths_to_file(paths: Sequence[Sequence[int]], gr: Graph,
                          kmer: int, threshold: int, prefix: str) -> None:
     """Write <prefix>.walks / .fasta / .onlylarge.fasta
