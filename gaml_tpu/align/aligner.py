@@ -83,22 +83,65 @@ def find_seed_in_read(read: np.ndarray, seq: np.ndarray, genome_pos: int,
 
 
 class _ReadCache:
-    """Oriented read codes + packed k-mers, cached per (read_id, orient)."""
+    """Oriented read codes + packed k-mers, cached per (read_id, orient).
+    With a prebuilt uniform-length k-mer matrix (ReadSet.prepare_read_index)
+    forward rows are views, the reverse matrix is one batched bit transform,
+    and the seed read-positions are precomputed: with the max-hash index the
+    matching k-mer is always the read's fingerprint k-mer, so the seed
+    position is a per-(read, orient) constant."""
 
-    def __init__(self, read_seqs: Dict[int, np.ndarray]):
+    def __init__(self, read_seqs: Dict[int, np.ndarray],
+                 kmer_matrix: np.ndarray = None,
+                 matrix_rids: Dict[int, int] = None):
         self.read_seqs = read_seqs
+        self.kmer_matrix = kmer_matrix
+        self.matrix_rids = matrix_rids or {}
+        self._rc_matrix: np.ndarray = None
+        self.seed_kmer_pos: np.ndarray = None  # [n_rows, 2] fwd/rc first-max
         self._cache: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+
+    def build_precomputes(self) -> None:
+        """Batch rc k-mer matrix + per-orientation fingerprint k-mer
+        positions."""
+        from ..index.maxhash import HASH_XOR, revcomp_kmers
+
+        if self.kmer_matrix is None or self.seed_kmer_pos is not None:
+            return
+        fwd = self.kmer_matrix
+        rc = revcomp_kmers(fwd)[:, ::-1]
+        self._rc_matrix = np.ascontiguousarray(rc)
+        hashes_f = fwd ^ np.uint32(HASH_XOR)
+        fp = hashes_f.max(axis=1)
+        target = fp ^ np.uint32(HASH_XOR)  # fingerprint k-mer value
+        # the rc read matches the genome's *revcomp* of the fingerprint k-mer
+        target_rc = revcomp_kmers(target)
+        pos_f = np.argmax(fwd == target[:, None], axis=1)
+        pos_r = np.argmax(rc == target_rc[:, None], axis=1)
+        self.seed_kmer_pos = np.stack([pos_f, pos_r], axis=1).astype(np.int32)
+
+    def seed_pos(self, rid: int, orient: int):
+        """Precomputed seed read-position, or None if unavailable."""
+        row = self.matrix_rids.get(rid)
+        if row is None or self.seed_kmer_pos is None:
+            return None
+        return int(self.seed_kmer_pos[row, orient])
 
     def get(self, rid: int, orient: int):
         key = (rid, orient)
         hit = self._cache.get(key)
         if hit is None:
-            from ..index.maxhash import pack_kmers
-
             read = self.read_seqs[rid]
             if orient:
                 read = dna.revcomp(read)
-            hit = (read, pack_kmers(read, K_INDEX_KMER))
+            row = self.matrix_rids.get(rid)
+            if self.kmer_matrix is not None and row is not None:
+                kmers = self.kmer_matrix[row] if not orient else \
+                    self._rc_matrix[row]
+            else:
+                from ..index.maxhash import pack_kmers
+
+                kmers = pack_kmers(read, K_INDEX_KMER)
+            hit = (read, kmers)
             self._cache[key] = hit
         return hit
 
@@ -109,13 +152,19 @@ def gen_candidates(index: ReadIndexMaxHash, read_seqs: Dict[int, np.ndarray],
     """Candidates in deterministic order (read_id asc, hit order).  The
     reference iterates an unordered_map (platform-defined order) — order only
     affects which duplicate wins the (position, read_id) dedup."""
-    from ..index.maxhash import pack_kmers
+    from ..index.maxhash import ReadIndexMaxHash as _MH, pack_kmers
 
     cands = index.get_read_cands_with_poses(seq)
     if not cands:
         return []
     cache = read_cache or _ReadCache(read_seqs)
-    seq_kmers = pack_kmers(seq)  # packed once per window
+    # with the max-hash index the matching k-mer is always the read's
+    # fingerprint k-mer, so the seed read-position is a per-(read, orient)
+    # constant (precomputed); other index kinds fall back to the scan
+    use_precomputed = isinstance(index, _MH) and cache.kmer_matrix is not None
+    if use_precomputed:
+        cache.build_precomputes()
+    seq_kmers = None
     out: List[Tuple[Candidate, np.ndarray]] = []
     for rid in sorted(cands):
         for e2 in cands[rid]:
@@ -123,14 +172,17 @@ def gen_candidates(index: ReadIndexMaxHash, read_seqs: Dict[int, np.ndarray],
                 genome_pos = e2 - K_INDEX_KMER + 1
                 read, kmers = cache.get(rid, 0)
                 orient = 0
-                target = seq_kmers[genome_pos]
             else:
                 genome_pos = len(seq) + e2 - 1
                 read, kmers = cache.get(rid, 1)
                 orient = 1
-                target = seq_kmers[genome_pos]
-            read_pos = find_seed_in_read(read, seq, genome_pos, kmers, target)
-            assert read_pos != -1, "max-hash candidate without exact seed"
+            read_pos = cache.seed_pos(rid, orient) if use_precomputed else None
+            if read_pos is None:
+                if seq_kmers is None:
+                    seq_kmers = pack_kmers(seq)  # packed once per window
+                read_pos = find_seed_in_read(read, seq, genome_pos, kmers,
+                                             seq_kmers[genome_pos])
+                assert read_pos != -1, "max-hash candidate without exact seed"
             out.append((Candidate(rid, genome_pos, read_pos, orient), read))
     return out
 

@@ -109,20 +109,44 @@ def window_max_fingerprints(codes: np.ndarray, read_len: int) -> List[Tuple[int,
     return out
 
 
-def maxhash_of_reads_batch(codes_2d: np.ndarray) -> np.ndarray:
-    """Fingerprints of a [n_reads, read_len] code matrix in one pass."""
+def pack_kmers_batch(codes_2d: np.ndarray, k: int = K_INDEX_KMER) -> np.ndarray:
+    """Packed k-mers for a [n_reads, read_len] code matrix -> [n, m] uint32
+    (2k <= 32 bits).  One vectorized pass for all reads."""
     n, L = codes_2d.shape
-    k = K_INDEX_KMER
     m = L - k + 1
     if m <= 0:
-        return np.zeros(n, dtype=np.uint64)
-    vals = np.where(codes_2d < 4, codes_2d, 0).astype(np.uint64)
-    acc = np.zeros((n, m), dtype=np.uint64)
-    for j in range(k):
-        acc = (acc << np.uint64(2)) | vals[:, j:j + m]
-    acc &= _KMER_MASK
-    acc ^= HASH_XOR
-    return np.maximum(np.uint64(0), acc.max(axis=1))
+        return np.zeros((n, 0), dtype=np.uint32)
+    vals = np.where(codes_2d < 4, codes_2d, 0).astype(np.uint32)
+    acc = vals[:, :m].copy()
+    two = np.uint32(2)
+    for j in range(1, k):
+        acc <<= two
+        np.bitwise_or(acc, vals[:, j:j + m], out=acc)
+    acc &= np.uint32(_KMER_MASK)
+    return acc
+
+
+def revcomp_kmers(kmers: np.ndarray, k: int = K_INDEX_KMER) -> np.ndarray:
+    """Reverse-complement packed k-mer values (complement = per-base XOR 3,
+    then reverse the 2-bit groups)."""
+    v = (kmers.astype(np.uint32) ^ np.uint32((1 << (2 * k)) - 1)).copy()
+    r = np.zeros_like(v)
+    two = np.uint32(2)
+    three = np.uint32(3)
+    for _ in range(k):
+        r <<= two
+        np.bitwise_or(r, v & three, out=r)
+        v >>= two
+    return r
+
+
+def maxhash_of_reads_batch(codes_2d: np.ndarray) -> np.ndarray:
+    """Fingerprints of a [n_reads, read_len] code matrix in one pass."""
+    kmers = pack_kmers_batch(codes_2d)
+    if kmers.shape[1] == 0:
+        return np.zeros(codes_2d.shape[0], dtype=np.uint64)
+    hashes = kmers ^ np.uint32(HASH_XOR)
+    return hashes.max(axis=1).astype(np.uint64)
 
 
 class ReadIndexMaxHash:

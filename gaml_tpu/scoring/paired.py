@@ -168,8 +168,7 @@ def calc_score_for_paths_paired(graph, paths, read_set1, read_set2,
                 read_probs[i] += p
 
     bad_bases = _coverage_sweep(events, insert_mean, insert_std, exp_cov_move)
-    lens = np.array([read_set1.get_read_len(i) + read_set2.get_read_len(i)
-                     for i in range(n)])
+    lens = read_set1.read_lens_array() + read_set2.read_lens_array()
     score, zero_reads = get_total_prob(read_probs, total_len1,
                                        min_prob_per_base, min_prob_start, lens)
     return score - bad_bases * no_cov_penalty, zero_reads, total_len1
@@ -273,8 +272,7 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
         for rid, p in group_changes:
             scoring_state.probs[rid] += sign * p
 
-    lens = np.array([read_set1.get_read_len(i) + read_set2.get_read_len(i)
-                     for i in range(n)])
+    lens = read_set1.read_lens_array() + read_set2.read_lens_array()
     score, zero_reads = get_total_prob(scoring_state.probs, total,
                                        min_prob_per_base, min_prob_start, lens)
     scoring_state.old_paths = [list(p) for p in paths]

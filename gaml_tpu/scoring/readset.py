@@ -111,6 +111,22 @@ class ReadSet:
             for codes, rid in zip(codes_list, rid_list):
                 self.index.add_read(codes, rid)
         self.aligner = SubpathAligner(self.index, self.read_seqs, self.backend)
+        # batch-pack a k-mer matrix for the uniform-length majority so the
+        # aligner's read cache avoids per-read packing
+        from ..index.maxhash import pack_kmers_batch
+
+        by_len: Dict[int, List[int]] = {}
+        for codes, rid in zip(codes_list, rid_list):
+            by_len.setdefault(len(codes), []).append(rid)
+        if by_len:
+            main_len = max(by_len, key=lambda L: len(by_len[L]))
+            rids = by_len[main_len]
+            if main_len > 15 and rids:
+                mat = pack_kmers_batch(
+                    np.stack([self.read_seqs[r] for r in rids]))
+                self.aligner._read_cache.kmer_matrix = mat
+                self.aligner._read_cache.matrix_rids = {
+                    r: i for i, r in enumerate(rids)}
 
     def calc_max_read_len(self) -> None:
         """Precompute match/mismatch power tables (graph.cc:1443-1454)."""
@@ -125,6 +141,14 @@ class ReadSet:
 
     def get_read_len(self, rid: int) -> int:
         return self.read_lens[rid]
+
+    def read_lens_array(self) -> np.ndarray:
+        """Cached numpy view of per-read lengths (hot in the reductions)."""
+        arr = getattr(self, "_read_lens_np", None)
+        if arr is None or len(arr) != self.reads_num:
+            arr = np.asarray(self.read_lens, dtype=np.int64)
+            self._read_lens_np = arr
+        return arr
 
     # ---------------------------------------------------------------- caches
     def save_alignments(self, path: Optional[str] = None) -> None:

@@ -66,7 +66,7 @@ def calc_score_for_paths_single(graph, paths: Sequence[Sequence[int]],
         if typ == 1:
             last_event_type = typ
 
-    lens = np.array([read_set.get_read_len(i) for i in range(len(read_probs))])
+    lens = read_set.read_lens_array()
     score, zero_reads = get_total_prob(read_probs, total_len1,
                                        min_prob_per_base, min_prob_start, lens)
     return score - bad_bases * no_cov_penalty, zero_reads, total_len1
