@@ -228,6 +228,56 @@ class SubpathAligner:
         seq, offset = spell_subpath(graph, path)
         return self.align_seq(seq, offset)
 
+    def align_subpaths_batch(self, graph, paths: List[Sequence[int]]):
+        """Device backend: align many subpaths in ONE batched kernel call
+        (amortizes device dispatch across windows).  Returns a list of
+        Alignment lists parallel to ``paths``."""
+        from ..ops.extend import batch_extend_multi
+
+        seqs = []
+        metas = []  # (subpath_index, offset, cands)
+        all_reads: List[np.ndarray] = []
+        seq_idx: List[int] = []
+        g0s: List[int] = []
+        r0s: List[int] = []
+        spans: List[Tuple[int, int]] = []
+        for si, path in enumerate(paths):
+            seq, offset = spell_subpath(graph, path)
+            if len(seq) < self.index.read_len or self.index.read_len == 0:
+                metas.append((si, offset, []))
+                spans.append((len(all_reads), len(all_reads)))
+                continue
+            cands = gen_candidates(self.index, self.read_seqs, seq,
+                                   self._read_cache)
+            start = len(all_reads)
+            seqs.append(seq)
+            for cand, read in cands:
+                seq_idx.append(len(seqs) - 1)
+                g0s.append(cand.genome_pos)
+                r0s.append(cand.read_pos)
+                all_reads.append(read)
+            metas.append((si, offset, cands))
+            spans.append((start, len(all_reads)))
+
+        ok, errs, begin = batch_extend_multi(
+            seqs, np.array(seq_idx, dtype=np.int32),
+            np.array(g0s, dtype=np.int32), np.array(r0s, dtype=np.int32),
+            all_reads, use_pallas=None if self.backend == "device" else False)
+
+        out: List[List[Alignment]] = [None] * len(paths)
+        for (si, offset, cands), (a, b) in zip(metas, spans):
+            current: Dict[Tuple[int, int], Alignment] = {}
+            for (cand, _read), idx in zip(cands, range(a, b)):
+                if not ok[idx]:
+                    continue
+                al = Alignment(int(begin[idx]) + 1 + offset, int(errs[idx]),
+                               cand.read_id, cand.orientation)
+                key = (al.position, al.read_id)
+                if key not in current:
+                    current[key] = al
+            out[si] = [current[k] for k in sorted(current)]
+        return out
+
     def align_seq(self, seq: np.ndarray, offset: int = 0) -> List[Alignment]:
         """Align all candidate reads against an arbitrary sequence."""
         if len(seq) < self.index.read_len or self.index.read_len == 0:

@@ -142,13 +142,18 @@ def _round_up(x: int, m: int) -> int:
 
 def stage_candidates(seq: np.ndarray, g0s: np.ndarray, r0s: np.ndarray,
                      reads: List[np.ndarray], rmax: int = None,
-                     nb: int = None, read_ids: np.ndarray = None):
+                     nb: int = None, read_ids: np.ndarray = None,
+                     seq_idx: np.ndarray = None):
     """Build the kernel's direction-view arrays on host.
 
-    Returns a dict of numpy arrays (kernel inputs + candidate metadata),
-    padded to nb candidates and rmax rows."""
+    ``seq`` is either one genome window (all candidates share it) or a list
+    of windows with per-candidate ``seq_idx`` — the multi-subpath batched
+    form.  Returns a dict of numpy arrays (kernel inputs + candidate
+    metadata), padded to nb candidates and rmax rows."""
     n = len(reads)
-    glen = len(seq)
+    multi = seq_idx is not None
+    seqs = seq if multi else None
+    glen = 0 if multi else len(seq)
     rlens = np.array([len(r) for r in reads], dtype=np.int32)
     if rmax is None:
         rmax_needed = int(max(int((rlens - r0s - K).max(initial=1)),
@@ -167,6 +172,9 @@ def stage_candidates(seq: np.ndarray, g0s: np.ndarray, r0s: np.ndarray,
     glen_b = np.zeros(nb, dtype=np.int32)
 
     for i, read in enumerate(reads):
+        if multi:
+            seq = seqs[seq_idx[i]]
+            glen = len(seq)
         g0, r0, rl = int(g0s[i]), int(r0s[i]), int(rlens[i])
         # forward view: read suffix after the seed vs genome from seed end
         fl = rl - r0 - K
@@ -230,6 +238,45 @@ def batch_extend_arrays(seq: np.ndarray, g0s: np.ndarray, r0s: np.ndarray,
 
     begin = (g0s - r0s - d_back).astype(np.int32)
     # genome-start special case (graph.cc:797-798)
+    at_start = g0s == 0
+    ok = np.where(at_start, ok & (r0s < 6), ok)
+    errs = np.where(at_start, errs + r0s, errs)
+    begin = np.where(at_start, -1, begin)
+    return ok, errs, begin
+
+
+def batch_extend_multi(seqs: List[np.ndarray], seq_idx: np.ndarray,
+                       g0s: np.ndarray, r0s: np.ndarray,
+                       reads: List[np.ndarray], use_pallas: bool = None):
+    """Batched extension across many subpath windows in ONE device call
+    (the production device-backend precompute path).  Returns
+    (ok, errs, begin) over all candidates."""
+    import jax
+
+    n = len(reads)
+    if n == 0:
+        return (np.zeros(0, bool), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
+    st = stage_candidates(seqs, g0s, r0s, reads, seq_idx=seq_idx)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    if use_pallas:
+        from .extend_pallas import extend_kernel_pallas
+
+        ok, errs, d_back = extend_kernel_pallas(st)
+    else:
+        ok, errs, d_back = extend_kernel(
+            jnp.asarray(st["read_f"]), jnp.asarray(st["rlen_f"]),
+            jnp.asarray(st["gwin_f"]), jnp.asarray(st["glen_f"]),
+            jnp.asarray(st["read_b"]), jnp.asarray(st["rlen_b"]),
+            jnp.asarray(st["gwin_b"]), jnp.asarray(st["glen_b"]), st["rmax"])
+        ok = np.asarray(ok)
+        errs = np.asarray(errs)
+        d_back = np.asarray(d_back)
+    ok = ok[:n]
+    errs = errs[:n].astype(np.int32)
+    d_back = d_back[:n]
+    begin = (g0s - r0s - d_back).astype(np.int32)
     at_start = g0s == 0
     ok = np.where(at_start, ok & (r0s < 6), ok)
     errs = np.where(at_start, errs + r0s, errs)

@@ -244,9 +244,15 @@ class ReadSet:
     def precompute_alignment_for_subpaths(self, graph,
                                           subpaths: Sequence[Subpath]) -> None:
         """Reference PrecomputeAligmentForSubpaths (graph.cc:911-922,
-        internal-aligner branch)."""
+        internal-aligner branch).  The device backend batches every window
+        into one kernel call."""
         for sp in subpaths:
             self.aligment_cache[sp] = []
+        if self.backend == "device" and len(subpaths) > 1:
+            results = self.aligner.align_subpaths_batch(graph, list(subpaths))
+            for sp, als in zip(subpaths, results):
+                self.aligment_cache[sp] = als
+            return
         for sp in subpaths:
             self.aligment_cache[sp] = self.aligner.align_subpath(graph, sp)
 

@@ -141,6 +141,28 @@ def test_device_backend_matches_bfs_on_exact_reads(tmp_path):
     assert s1 == pytest.approx(s2, abs=1e-12)
 
 
+def test_device_backend_batched_windows(tmp_path):
+    """Multi-window walks exercise the batched-across-subpaths device
+    precompute; scores must match the bfs backend on exact reads."""
+    from gaml_tpu.scoring.single import calc_score_for_paths_single
+
+    rng = np.random.default_rng(7)
+    gr, seqs = make_linear_graph(rng, [250, 120, 260, 90, 270])
+    genome = "".join(seqs)
+    reads = sample_reads(rng, genome, 40, 30, err_rate=0.0)
+    rs_bfs = make_readset(tmp_path, reads, "bw1")
+    rs_dev = make_readset(tmp_path, reads, "bw2")
+    rs_dev.backend = "device"
+    rs_dev.aligner.backend = "device"
+    s1, z1, t1 = calc_score_for_paths_single(gr, [[0, 2, 4], [6, 8]], rs_bfs)
+    s2, z2, t2 = calc_score_for_paths_single(gr, [[0, 2, 4], [6, 8]], rs_dev)
+    assert (z1, t1) == (z2, t2)
+    assert s1 == pytest.approx(s2, abs=1e-12)
+    # caches hold identical alignments
+    for key, als in rs_bfs.aligment_cache.items():
+        assert rs_dev.aligment_cache.get(key) == als
+
+
 def test_metrics():
     from gaml_tpu.utils.metrics import Metrics
 
