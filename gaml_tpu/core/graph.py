@@ -152,11 +152,41 @@ class Graph:
                 return self.next[i][j], p / self.next_sum[i]
         return self.next[i][-1], probs[-1] / self.next_sum[i]
 
+    def sample_next_with_prob_and_ban(self, i: int, ban: int, rng):
+        """Weighted sample excluding one banned successor
+        (reference Node::SampleNextWithProbAndBan, graph.h:138-155;
+        precondition: at least 2 successors)."""
+        next_sum_ban = sum(p for nxt, p in zip(self.next[i], self.next_prob[i])
+                           if nxt != ban)
+        samp = rng.uniform(0.0, next_sum_ban)
+        ss = 0.0
+        last = None
+        for j, (nxt, p) in enumerate(zip(self.next[i], self.next_prob[i])):
+            if nxt == ban:
+                continue
+            ss += p
+            last = (nxt, p / next_sum_ban if next_sum_ban else 0.0)
+            if ss > samp or j == len(self.next[i]) - 1:
+                return last
+        return last
+
     def get_next_prob(self, i: int, next_id: int) -> float:
         for j, nxt in enumerate(self.next[i]):
             if nxt == next_id:
                 return self.next_prob[i][j] / self.next_sum[i]
         raise AssertionError(f"no edge {i}->{next_id}")
+
+    def get_next_prob_ban(self, i: int, next_id: int, ban: int) -> float:
+        """Edge probability with one successor excluded
+        (reference Node::GetNextProbBan, graph.h:167-181)."""
+        next_sum_ban = sum(p for nxt, p in zip(self.next[i], self.next_prob[i])
+                           if nxt != ban)
+        for nxt, p in zip(self.next[i], self.next_prob[i]):
+            if nxt == ban:
+                continue
+            if nxt == next_id:
+                return p / next_sum_ban
+        raise AssertionError(f"no edge {i}->{next_id} (ban {ban})")
 
     # ------------------------------------------------------- normalize map
     def calc_normalize_map(self) -> None:
