@@ -11,7 +11,7 @@ CIGAR plays in the reference's AligmentProbability band construction
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import numpy as np
 

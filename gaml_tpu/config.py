@@ -18,7 +18,7 @@ misspelled key is absent IF ``strict_compat=False`` (our default is strict).
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 from .scoring.config import PairedReadConfig, SingleReadConfig
 

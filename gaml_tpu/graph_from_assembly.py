@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Set, Tuple
 
-import numpy as np
 
 from .core import dna
 from .core.graph import Graph

@@ -16,7 +16,7 @@ mirror the reference's read-set kinds:
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import numpy as np
 

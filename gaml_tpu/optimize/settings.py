@@ -8,7 +8,7 @@ Config-key compatibility notes (reference quirks preserved, SURVEY.md 5.6):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict
 
 

@@ -16,7 +16,6 @@ hosts), exactly as SURVEY.md section 5.8 prescribes.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, List
 
 import jax

@@ -29,7 +29,7 @@ from typing import Dict, List, NamedTuple, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
-from ..align.longread import SEED_K, align_long_read, chain_hits, guide_path, _kmer_hits
+from ..align.longread import SEED_K, align_long_read, chain_hits, guide_path
 from ..core import dna
 from ..core.io import iter_fastq
 

@@ -24,7 +24,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from ..core.logprob import insert_prob, insert_prob_table
-from ..core.paths import invert_path, path_len, split_at_gaps, total_len as paths_total_len
+from ..core.paths import path_len, split_at_gaps, total_len as paths_total_len
 from .reduce import get_total_prob
 
 

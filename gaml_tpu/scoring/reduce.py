@@ -9,7 +9,7 @@ the single-path debug scorer only.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 
