@@ -120,6 +120,7 @@ class Optimizer:
         s = self.settings
         gr = self.graph
         rng = self.rng
+        t_propose = time.perf_counter()
         while True:
             new_paths = [list(p) for p in paths]
             extendadvp = s.extendadvp
@@ -172,6 +173,9 @@ class Optimizer:
                 was_break = True
             break
 
+        agg = self.metrics.timers["propose"]
+        agg[0] += time.perf_counter() - t_propose
+        agg[1] += 1
         # rep stats + re-add missing long nodes (counts over the *old* walks,
         # additions into the new — reference gaml.cc:216-241)
         counts = {i: 0 for i in range(0, gr.num_nodes, 2)
