@@ -59,6 +59,13 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.paired_inc_pairs.restype = ctypes.c_int64
+        lib.paired_inc_pairs.argtypes = [ctypes.c_void_p, ctypes.c_int32] + \
+            [ctypes.c_void_p] * 12 + \
+            [ctypes.c_void_p] * 4 + \
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+             ctypes.c_double, ctypes.c_double, ctypes.c_double,
+             ctypes.c_int32] + [ctypes.c_void_p] * 5
         for name in ("reach_limit_compute", "reach_big_compute"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_void_p
@@ -116,6 +123,35 @@ def process_hit_batch(genome: np.ndarray, cands) -> List[Optional[Tuple[int, int
                           n, _ptr(out_errs), _ptr(out_begin))
     return [None if out_errs[i] < 0 else (int(out_errs[i]), int(out_begin[i]))
             for i in range(n)]
+
+
+def paired_inc_pairs(rids, p1_start, p1_cnt, pos1, ed1, or1,
+                     p2_start, p2_cnt, pos2, ed2, or2, rlen1, rlen2,
+                     match_pow1, mismatch_pow1, match_pow2, mismatch_pow2,
+                     ins_table, ins_mean, ins_std, min_prob_start,
+                     min_prob_per_base, use_all_to_cov, total_pairs):
+    """Native pair-product loop; returns (p [np], rid [np], ev_pos, ev_typ)."""
+    lib = get_lib()
+    assert lib is not None
+    out_p = np.zeros(max(total_pairs, 1), dtype=np.float64)
+    out_rid = np.zeros(max(total_pairs, 1), dtype=np.int32)
+    cap_ev = 2 * max(total_pairs, 1)
+    out_ev_pos = np.zeros(cap_ev, dtype=np.int32)
+    out_ev_typ = np.zeros(cap_ev, dtype=np.int32)
+    out_ev_cnt = np.zeros(1, dtype=np.int64)
+    n = lib.paired_inc_pairs(
+        _ptr(rids), len(rids),
+        _ptr(p1_start), _ptr(p1_cnt), _ptr(pos1), _ptr(ed1), _ptr(or1),
+        _ptr(p2_start), _ptr(p2_cnt), _ptr(pos2), _ptr(ed2), _ptr(or2),
+        _ptr(rlen1), _ptr(rlen2),
+        _ptr(match_pow1), _ptr(mismatch_pow1),
+        _ptr(match_pow2), _ptr(mismatch_pow2),
+        _ptr(ins_table), len(ins_table), ins_mean, ins_std,
+        min_prob_start, min_prob_per_base, int(use_all_to_cov),
+        _ptr(out_p), _ptr(out_rid), _ptr(out_ev_pos), _ptr(out_ev_typ),
+        _ptr(out_ev_cnt))
+    ne = int(out_ev_cnt[0])
+    return out_p[:n], out_rid[:n], out_ev_pos[:ne], out_ev_typ[:ne]
 
 
 def _decode_reach(handle, lib):

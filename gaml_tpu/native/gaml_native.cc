@@ -13,6 +13,8 @@
 // All outputs are bit-identical to the Python implementations (tested in
 // tests/test_native.py).
 
+#define _USE_MATH_DEFINES
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -196,6 +198,81 @@ void process_hit_batch(const uint8_t* genome, int64_t glen,
                     r0s[i], out_errs + i, out_begin + i, visited, stamp,
                     vdim);
   }
+}
+
+// ------------------------------------------------------- paired pair loop
+// The incremental paired scorer's hot inner loop (reference
+// CalcScoreForPathInc pair products, graph.cc:1853-1892): for each read,
+// all (pos1, pos2) combos in innie geometry emit p1*p2*insert_pdf(dist)
+// in x-major order, plus coverage events for pairs above the threshold.
+// Sequential float64 arithmetic in the same order as the Python loop —
+// bit-identical, C speed.
+int64_t paired_inc_pairs(
+    const int32_t* rids, int32_t n_rids,
+    const int64_t* p1_start, const int32_t* p1_cnt,
+    const int32_t* pos1, const int32_t* ed1, const int32_t* or1,
+    const int64_t* p2_start, const int32_t* p2_cnt,
+    const int32_t* pos2, const int32_t* ed2, const int32_t* or2,
+    const int32_t* rlen1, const int32_t* rlen2,
+    const double* match_pow1, const double* mismatch_pow1,
+    const double* match_pow2, const double* mismatch_pow2,
+    const double* ins_table, int64_t ins_n, double ins_mean, double ins_std,
+    double min_prob_start, double min_prob_per_base, int32_t use_all_to_cov,
+    double* out_p, int32_t* out_rid,
+    int32_t* out_ev_pos, int32_t* out_ev_typ, int64_t* out_ev_cnt) {
+  int64_t np = 0;
+  int64_t ne = 0;
+  const double two_pi_c = sqrt(2.0 * M_PI) * ins_std;
+  for (int32_t ri = 0; ri < n_rids; ri++) {
+    int32_t rid = rids[ri];
+    // quirk: threshold uses read_set2's length twice (graph.cc:1855-1857)
+    double threshold =
+        exp(min_prob_start + min_prob_per_base * (rlen2[ri] + rlen2[ri]));
+    const int32_t* xp = pos1 + p1_start[ri];
+    const int32_t* xe = ed1 + p1_start[ri];
+    const int32_t* xo = or1 + p1_start[ri];
+    const int32_t* yp = pos2 + p2_start[ri];
+    const int32_t* ye = ed2 + p2_start[ri];
+    const int32_t* yo = or2 + p2_start[ri];
+    for (int32_t i = 0; i < p1_cnt[ri]; i++) {
+      double p1v = mismatch_pow1[xe[i]] * match_pow1[rlen1[ri] - xe[i]];
+      for (int32_t j = 0; j < p2_cnt[ri]; j++) {
+        if (xo[i] == yo[j]) continue;
+        int64_t dist;
+        if (xp[i] < yp[j]) {
+          if (xo[i] != 0 || yo[j] != 1) continue;
+          dist = (int64_t)yp[j] - xp[i] + rlen2[ri];
+        } else {
+          if (xo[i] != 1 || yo[j] != 0) continue;
+          dist = (int64_t)xp[i] - yp[j] + rlen1[ri];
+        }
+        double p2v = mismatch_pow2[ye[j]] * match_pow2[rlen2[ri] - ye[j]];
+        double insprob;
+        if (dist >= 0 && dist < ins_n) {
+          insprob = ins_table[dist];
+        } else {
+          double z = ((double)dist - ins_mean) / ins_std;
+          insprob = exp(-z * z / 2.0) / two_pi_c;
+        }
+        double p = p1v * p2v * insprob;
+        if (p > threshold) {
+          out_ev_pos[ne] = xp[i] > yp[j] ? xp[i] : yp[j];
+          out_ev_typ[ne] = 3;
+          ne++;
+          if (use_all_to_cov) {
+            out_ev_pos[ne] = xp[i] < yp[j] ? xp[i] : yp[j];
+            out_ev_typ[ne] = 3;
+            ne++;
+          }
+        }
+        out_p[np] = p;
+        out_rid[np] = rid;
+        np++;
+      }
+    }
+  }
+  *out_ev_cnt = ne;
+  return np;
 }
 
 // ----------------------------------------------------------- reachability

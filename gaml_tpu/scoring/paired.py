@@ -199,10 +199,12 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
                             insert_mean: float, insert_std: float,
                             exp_cov_move: float, use_all_to_cov: bool,
                             min_prob_per_base: float, min_prob_start: float,
-                            changes: List[Tuple[int, float]]) -> int:
+                            changes: List) -> int:
     """Per-walk contribution (reference CalcScoreForPathInc,
-    graph.cc:1794-1920).  Appends (read_id, pair prob) to ``changes`` and
-    returns this walk's bad bases."""
+    graph.cc:1794-1920).  Appends (rid_array, p_array) chunks (pair
+    contributions in x-major emission order) to ``changes`` and returns
+    this walk's bad bases.  The pair loop runs in the C++ native kernel
+    when built (bit-identical float64 sequence)."""
     table = insert_prob_table(insert_mean, insert_std)
     events: List[Tuple[int, int]] = [(0, 1)]
     ctgs, gaps = split_at_gaps(path)
@@ -218,9 +220,49 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
         read_set2.get_positions_only_path(graph, ctg, cur_len, positions2)
         cur_len += path_len(graph, ctg)
 
-    for rid in sorted(positions1):
-        if rid not in positions2:
-            continue
+    rids = [rid for rid in sorted(positions1) if rid in positions2]
+
+    from ..native import get_lib
+
+    if get_lib() is not None and rids:
+        from ..native import paired_inc_pairs
+
+        n = len(rids)
+        p1_cnt = np.array([len(positions1[r]) for r in rids], dtype=np.int32)
+        p2_cnt = np.array([len(positions2[r]) for r in rids], dtype=np.int32)
+        p1_start = np.concatenate([[0], np.cumsum(p1_cnt)[:-1]]).astype(np.int64)
+        p2_start = np.concatenate([[0], np.cumsum(p2_cnt)[:-1]]).astype(np.int64)
+
+        def flat(poses, field):
+            return np.array([getattr(al, field) for r in rids for al in poses[r]],
+                            dtype=np.int32)
+
+        pos1 = flat(positions1, "position")
+        ed1 = flat(positions1, "edit_dist")
+        or1 = flat(positions1, "orientation")
+        pos2 = flat(positions2, "position")
+        ed2 = flat(positions2, "edit_dist")
+        or2 = flat(positions2, "orientation")
+        rlen1 = np.array([read_set1.get_read_len(r) for r in rids], np.int32)
+        rlen2 = np.array([read_set2.get_read_len(r) for r in rids], np.int32)
+        total_pairs = int(np.sum(p1_cnt.astype(np.int64) * p2_cnt))
+        p_arr, rid_arr, ev_pos, ev_typ = paired_inc_pairs(
+            np.array(rids, dtype=np.int32), p1_start, p1_cnt, pos1, ed1, or1,
+            p2_start, p2_cnt, pos2, ed2, or2, rlen1, rlen2,
+            np.ascontiguousarray(read_set1.match_probs),
+            np.ascontiguousarray(read_set1.mismatch_probs),
+            np.ascontiguousarray(read_set2.match_probs),
+            np.ascontiguousarray(read_set2.mismatch_probs),
+            np.ascontiguousarray(table), float(insert_mean), float(insert_std),
+            float(min_prob_start), float(min_prob_per_base), use_all_to_cov,
+            total_pairs)
+        changes.append((rid_arr, p_arr))
+        events.extend(zip(ev_pos.tolist(), ev_typ.tolist()))
+        return _coverage_sweep(events, insert_mean, insert_std, exp_cov_move)
+
+    chunk_r: List[int] = []
+    chunk_p: List[float] = []
+    for rid in rids:
         # quirk: threshold uses read_set2's length twice (graph.cc:1855-1857)
         threshold = np.exp(min_prob_start + min_prob_per_base *
                            (read_set2.get_read_len(rid) + read_set2.get_read_len(rid)))
@@ -237,7 +279,10 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
                     events.append((max(x.position, y.position), 3))
                     if use_all_to_cov:
                         events.append((min(x.position, y.position), 3))
-                changes.append((rid, p))
+                chunk_r.append(rid)
+                chunk_p.append(p)
+    changes.append((np.array(chunk_r, dtype=np.int32),
+                    np.array(chunk_p, dtype=np.float64)))
     return _coverage_sweep(events, insert_mean, insert_std, exp_cov_move)
 
 
@@ -261,7 +306,7 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
     read_set2.precompute_alignment_for_paths(paths, graph)
 
     for group, sign in ((erased, -1), (added, +1)):
-        group_changes: List[Tuple[int, float]] = []
+        group_changes: List = []
         group_bad = 0
         for path in group:
             group_bad += calc_score_for_path_inc(
@@ -269,8 +314,10 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
                 exp_cov_move, use_all_to_cov, min_prob_per_base,
                 min_prob_start, group_changes)
         scoring_state.bad_bases += sign * group_bad
-        for rid, p in group_changes:
-            scoring_state.probs[rid] += sign * p
+        for rid_arr, p_arr in group_changes:
+            # unbuffered in-order accumulation (np.add.at), matching the
+            # reference's sequential probs[read] += p
+            np.add.at(scoring_state.probs, rid_arr, sign * p_arr)
 
     lens = read_set1.read_lens_array() + read_set2.read_lens_array()
     score, zero_reads = get_total_prob(scoring_state.probs, total,
