@@ -1,0 +1,250 @@
+"""TRUE differential parity: build the actual reference C++ (via
+tools/build_reference.sh, Boost stubbed) and compare its printed
+``start prob ... len ...`` — the full likelihood of the starting walk set —
+against our scorer on identical synthetic inputs.
+
+This is the SURVEY §4(b) golden-parity surface measured against the real
+reference implementation rather than against formulas.
+"""
+import re
+import subprocess
+
+import numpy as np
+import pytest
+
+from gaml_tpu.config import load_config, prepare_read_sets
+from gaml_tpu.core.io import load_lastgraph
+from gaml_tpu.scoring.calculator import ProbCalculator
+
+from fixtures import lastgraph_text, random_seq, write_fastq
+from test_scoring import make_pairs
+
+REF_BIN = "/tmp/gaml_refbuild/gaml"
+
+
+@pytest.fixture(scope="module")
+def reference_binary():
+    try:
+        out = subprocess.run(["bash", "tools/build_reference.sh"],
+                             capture_output=True, timeout=300, cwd="/root/repo")
+    except (OSError, subprocess.TimeoutExpired):
+        pytest.skip("reference build failed")
+    if out.returncode != 0:
+        pytest.skip(f"reference build failed: {out.stderr.decode()[-500:]}")
+    return REF_BIN
+
+
+def run_reference(cfg_path, cwd):
+    # stdbuf: the reference may segfault in a *later* move (its own UB on
+    # tiny graphs, e.g. the missing return in SplitOnNode/moves.cc:1127);
+    # we only need the start-prob line, flushed unbuffered.
+    out = subprocess.run(["stdbuf", "-o0", "-e0", REF_BIN, str(cfg_path)],
+                         capture_output=True, timeout=300, cwd=cwd)
+    text = out.stdout.decode()
+    m = re.search(r"start prob (-?[\d.]+) len (\d+)", text)
+    assert m, text[-2000:]
+    return float(m.group(1)), int(m.group(2))
+
+
+def make_world(tmp_path, rng, node_lens, arcs):
+    seqs = [random_seq(rng, n) for n in node_lens]
+    lg = tmp_path / "LastGraph"
+    lg.write_text(lastgraph_text(seqs, arcs))
+    return seqs, lg
+
+
+def our_start_prob(cfg_path):
+    configs, rs_cfgs = load_config(str(cfg_path))
+    single, paired, pacbio = prepare_read_sets(rs_cfgs)
+    gr = load_lastgraph(configs["graph"])
+    for _cfg, rs in single:
+        rs.preprocess_reads()
+        rs.prepare_read_index()
+    for _cfg, (rs1, rs2) in paired:
+        for rs in (rs1, rs2):
+            rs.preprocess_reads()
+            rs.prepare_read_index()
+    pc = ProbCalculator(single, paired, pacbio, gr)
+    paths = [[i] for i in range(0, gr.num_nodes, 2) if gr.node_len(i) > 500]
+    zeros = []
+    score, total_len = pc.calc_prob(paths, zeros)
+    return score, total_len, zeros
+
+
+def test_reference_paired_start_prob(tmp_path, reference_binary):
+    rng = np.random.default_rng(1234)
+    seqs, lg = make_world(tmp_path, rng, [700, 90, 800, 70, 650],
+                          [(1, 2), (2, 3), (3, 4), (4, 5)])
+    genome = "".join(seqs)
+    m1, m2 = make_pairs(rng, genome, 60, 30, 300, 25)
+    write_fastq(str(tmp_path / "m1.fq"), m1)
+    write_fastq(str(tmp_path / "m2.fq"), m2)
+    cfg = tmp_path / "ref.cfg"
+    cfg.write_text(f"""graph={lg}
+max_iterations=0
+output_prefix={tmp_path}/refout
+
+[lib]
+type=paired
+filename1={tmp_path}/m1.fq
+filename2={tmp_path}/m2.fq
+insert_mean=300
+insert_std=25
+cache_prefix={tmp_path}/cache
+""")
+    ref_score, ref_len = run_reference(cfg, tmp_path)
+    our_score, our_len, zeros = our_start_prob(cfg)
+    assert our_len == ref_len
+    assert our_score == pytest.approx(ref_score, abs=2e-6)
+
+
+def test_reference_paired_unequal_mate_lengths(tmp_path, reference_binary):
+    """L1 != L2 makes the incremental threshold quirk (rs2 length twice)
+    observable; distances also mix both lengths."""
+    rng = np.random.default_rng(555)
+    seqs, lg = make_world(tmp_path, rng, [800, 100, 900],
+                          [(1, 2), (2, 3), (1, 3)])
+    genome = "".join(seqs)
+    L1, L2, im, istd = 30, 44, 280, 30
+    m1, m2 = [], []
+    for _ in range(50):
+        ins = max(L1 + L2 + 10, min(int(rng.normal(im, istd)), len(genome)))
+        p = int(rng.integers(0, len(genome) - ins + 1))
+        m1.append(genome[p:p + L1])
+        from gaml_tpu.core import dna as _dna
+
+        m2.append(_dna.revcomp_str(genome[p + ins - L2:p + ins]))
+    write_fastq(str(tmp_path / "u1.fq"), m1)
+    write_fastq(str(tmp_path / "u2.fq"), m2)
+    cfg = tmp_path / "uneq.cfg"
+    cfg.write_text(f"""graph={lg}
+max_iterations=0
+output_prefix={tmp_path}/uo
+
+[lib]
+type=paired
+filename1={tmp_path}/u1.fq
+filename2={tmp_path}/u2.fq
+insert_mean={im}
+insert_std={istd}
+cache_prefix={tmp_path}/uc
+""")
+    ref_score, ref_len = run_reference(cfg, tmp_path)
+    our_score, our_len, _ = our_start_prob(cfg)
+    assert our_len == ref_len
+    assert our_score == pytest.approx(ref_score, abs=2e-6)
+
+
+def test_reference_branchy_noisy(tmp_path, reference_binary):
+    """Branching graph + 2% errors: multiplicity in candidates and
+    error-bearing extensions."""
+    rng = np.random.default_rng(991)
+    seqs, lg = make_world(
+        tmp_path, rng, [700, 90, 90, 650, 120, 600],
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 6)])
+    genome = seqs[0] + seqs[1] + seqs[3] + seqs[4] + seqs[5]
+    m1, m2 = make_pairs(rng, genome, 70, 32, 260, 30)
+
+    def noisy(reads):
+        out = []
+        for r in reads:
+            chars = list(r)
+            for i in range(len(chars)):
+                if rng.random() < 0.02:
+                    chars[i] = "ACGT"[int(rng.integers(0, 4))]
+            out.append("".join(chars))
+        return out
+
+    write_fastq(str(tmp_path / "b1.fq"), noisy(m1))
+    write_fastq(str(tmp_path / "b2.fq"), noisy(m2))
+    cfg = tmp_path / "branchy.cfg"
+    cfg.write_text(f"""graph={lg}
+max_iterations=0
+output_prefix={tmp_path}/bo
+
+[lib]
+type=paired
+filename1={tmp_path}/b1.fq
+filename2={tmp_path}/b2.fq
+insert_mean=260
+insert_std=30
+cache_prefix={tmp_path}/bc
+""")
+    ref_score, ref_len = run_reference(cfg, tmp_path)
+    our_score, our_len, _ = our_start_prob(cfg)
+    assert our_len == ref_len
+    assert our_score == pytest.approx(ref_score, abs=2e-6)
+
+
+def test_reference_starting_assembly_bootstrap(tmp_path, reference_binary):
+    """No graph= key: both sides build the k=101 graph from the scaffold
+    FASTA (multi-node walks incl. gap entries) and score the clipped
+    walks — exercising graph_from_assembly parity end to end."""
+    rng = np.random.default_rng(31)
+    part1 = random_seq(rng, 1500)
+    part2 = random_seq(rng, 1300)
+    scaffold = part1 + "N" * 40 + part2
+    fa = tmp_path / "asm.fasta"
+    fa.write_text(f">scf1\n{scaffold}\n")
+    genome = part1 + part2
+    reads = []
+    for _ in range(60):
+        p = int(rng.integers(0, len(genome) - 36))
+        reads.append(genome[p:p + 36])
+    write_fastq(str(tmp_path / "s.fq"), reads)
+    cfg = tmp_path / "boot.cfg"
+    cfg.write_text(f"""starting_assembly={fa}
+max_iterations=0
+output_prefix={tmp_path}/bo2
+
+[lib]
+type=single
+filename={tmp_path}/s.fq
+cache_prefix={tmp_path}/bc2
+""")
+    ref_score, ref_len = run_reference(cfg, tmp_path)
+
+    # our side mirrors the reference main: bootstrap graph + clip + missing
+    from gaml_tpu.assembly_import import add_missing_big_nodes, clip_paths
+    from gaml_tpu.core.graph import Graph
+    from gaml_tpu.graph_from_assembly import get_graph_from_assembly
+
+    configs, rs_cfgs = load_config(str(cfg))
+    single, paired, pacbio = prepare_read_sets(rs_cfgs)
+    gr = Graph()
+    paths = get_graph_from_assembly(str(fa), gr)
+    paths = clip_paths(paths, gr)
+    add_missing_big_nodes(paths, gr)
+    for _cfg, rs in single:
+        rs.preprocess_reads()
+        rs.prepare_read_index()
+    pc = ProbCalculator(single, paired, pacbio, gr)
+    zeros = []
+    our_score, our_len = pc.calc_prob(paths, zeros)
+    assert our_len == ref_len
+    assert our_score == pytest.approx(ref_score, abs=2e-6)
+
+
+def test_reference_single_start_prob(tmp_path, reference_binary):
+    from fixtures import sample_reads
+
+    rng = np.random.default_rng(77)
+    seqs, lg = make_world(tmp_path, rng, [900, 80, 750],
+                          [(1, 2), (2, 3)])
+    genome = "".join(seqs)
+    reads = sample_reads(rng, genome, 50, 36, err_rate=0.01)
+    write_fastq(str(tmp_path / "r.fq"), reads)
+    cfg = tmp_path / "ref_single.cfg"
+    cfg.write_text(f"""graph={lg}
+max_iterations=0
+output_prefix={tmp_path}/refout2
+
+[lib]
+type=single
+filename={tmp_path}/r.fq
+cache_prefix={tmp_path}/cache2
+""")
+    ref_score, ref_len = run_reference(cfg, tmp_path)
+    our_score, our_len, zeros = our_start_prob(cfg)
+    assert our_len == ref_len
+    assert our_score == pytest.approx(ref_score, abs=2e-6)
