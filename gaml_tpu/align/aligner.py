@@ -36,6 +36,38 @@ class Alignment(NamedTuple):
     orientation: int  # 0 = forward, 1 = reverse-complement hit
 
 
+class AlignmentColumns(NamedTuple):
+    """Column-array form of a sorted alignment list — the cache value type
+    (native-kernel friendly; python code iterates via .tolist())."""
+    position: np.ndarray   # int32
+    edit_dist: np.ndarray  # int32
+    read_id: np.ndarray    # int32
+    orientation: np.ndarray  # int32
+
+    def __len__(self):
+        return len(self.position)
+
+    def tuples(self) -> List[Alignment]:
+        return [Alignment(p, e, r, o) for p, e, r, o in
+                zip(self.position.tolist(), self.edit_dist.tolist(),
+                    self.read_id.tolist(), self.orientation.tolist())]
+
+    @staticmethod
+    def from_tuples(als: List[Alignment]) -> "AlignmentColumns":
+        return AlignmentColumns(
+            np.array([a.position for a in als], dtype=np.int32),
+            np.array([a.edit_dist for a in als], dtype=np.int32),
+            np.array([a.read_id for a in als], dtype=np.int32),
+            np.array([a.orientation for a in als], dtype=np.int32))
+
+    def __eq__(self, other):
+        return (isinstance(other, AlignmentColumns) and
+                all(np.array_equal(a, b) for a, b in zip(self, other)))
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+
 class Candidate(NamedTuple):
     read_id: int
     genome_pos: int  # seed k-mer start in window coordinates
@@ -264,7 +296,7 @@ class SubpathAligner:
             np.array(g0s, dtype=np.int32), np.array(r0s, dtype=np.int32),
             all_reads, use_pallas=None if self.backend == "device" else False)
 
-        out: List[List[Alignment]] = [None] * len(paths)
+        out: List[AlignmentColumns] = [None] * len(paths)
         for (si, offset, cands), (a, b) in zip(metas, spans):
             current: Dict[Tuple[int, int], Alignment] = {}
             for (cand, _read), idx in zip(cands, range(a, b)):
@@ -275,13 +307,23 @@ class SubpathAligner:
                 key = (al.position, al.read_id)
                 if key not in current:
                     current[key] = al
-            out[si] = [current[k] for k in sorted(current)]
+            out[si] = AlignmentColumns.from_tuples(
+                [current[k] for k in sorted(current)])
         return out
 
-    def align_seq(self, seq: np.ndarray, offset: int = 0) -> List[Alignment]:
-        """Align all candidate reads against an arbitrary sequence."""
+    def align_seq(self, seq: np.ndarray, offset: int = 0) -> AlignmentColumns:
+        """Align all candidate reads against an arbitrary sequence; returns
+        the sorted column-array form.  With the C++ bundle attached
+        (ReadSet._build_native_bundle) the whole window — query, candidate
+        expansion, BFS extension, dedup — runs in one native call."""
         if len(seq) < self.index.read_len or self.index.read_len == 0:
-            return []
+            return AlignmentColumns.from_tuples([])
+        bundle = getattr(self, "native_bundle", None)
+        if bundle is not None and self.backend == "bfs":
+            from ..native import align_window
+
+            pos, ed, rid, orient = align_window(bundle, seq, offset)
+            return AlignmentColumns(pos, ed, rid, orient)
         cands = gen_candidates(self.index, self.read_seqs, seq,
                                self._read_cache)
         results = self._extend_all(seq, cands)
@@ -293,4 +335,5 @@ class SubpathAligner:
             key = (al.position, al.read_id)
             if key not in current:  # set<Aligment>: first insert wins
                 current[key] = al
-        return [current[k] for k in sorted(current)]
+        return AlignmentColumns.from_tuples(
+            [current[k] for k in sorted(current)])

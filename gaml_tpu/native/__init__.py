@@ -66,6 +66,26 @@ def get_lib():
             [ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
              ctypes.c_double, ctypes.c_double, ctypes.c_double,
              ctypes.c_int32] + [ctypes.c_void_p] * 5
+        lib.align_window.restype = ctypes.c_int64
+        lib.align_window.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.collect_positions.restype = ctypes.c_int64
+        lib.collect_positions.argtypes = [ctypes.c_int32] + \
+            [ctypes.c_void_p] * 9 + [ctypes.c_void_p] * 6 + [ctypes.c_void_p]
+        lib.paired_inc_pairs2.restype = ctypes.c_int64
+        lib.paired_inc_pairs2.argtypes = \
+            [ctypes.c_void_p] * 3 + [ctypes.c_int32] + [ctypes.c_void_p] * 3 + \
+            [ctypes.c_void_p] * 3 + [ctypes.c_int32] + [ctypes.c_void_p] * 3 + \
+            [ctypes.c_void_p] * 2 + [ctypes.c_void_p] * 4 + \
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+             ctypes.c_double, ctypes.c_double, ctypes.c_double,
+             ctypes.c_int32] + [ctypes.c_void_p] * 5
         for name in ("reach_limit_compute", "reach_big_compute"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_void_p
@@ -82,7 +102,9 @@ def get_lib():
 
 
 def _ptr(arr: np.ndarray):
-    return arr.ctypes.data_as(ctypes.c_void_p)
+    # c_void_p argtypes accept the raw address int; avoids a ctypes cast
+    # object per call (hot: dozens of pointers per score call)
+    return arr.ctypes.data
 
 
 def maxhash_window_query(seq: np.ndarray, read_len: int) -> List[Tuple[int, int]]:
@@ -144,6 +166,122 @@ def paired_inc_pairs(rids, p1_start, p1_cnt, pos1, ed1, or1,
         _ptr(p1_start), _ptr(p1_cnt), _ptr(pos1), _ptr(ed1), _ptr(or1),
         _ptr(p2_start), _ptr(p2_cnt), _ptr(pos2), _ptr(ed2), _ptr(or2),
         _ptr(rlen1), _ptr(rlen2),
+        _ptr(match_pow1), _ptr(mismatch_pow1),
+        _ptr(match_pow2), _ptr(mismatch_pow2),
+        _ptr(ins_table), len(ins_table), ins_mean, ins_std,
+        min_prob_start, min_prob_per_base, int(use_all_to_cov),
+        _ptr(out_p), _ptr(out_rid), _ptr(out_ev_pos), _ptr(out_ev_typ),
+        _ptr(out_ev_cnt))
+    ne = int(out_ev_cnt[0])
+    return out_p[:n], out_rid[:n], out_ev_pos[:ne], out_ev_typ[:ne]
+
+
+class NativeAlignBundle:
+    """Prepared arrays for the native window aligner: sorted fingerprint
+    index, contiguous read-code matrices (fwd + rc), per-read seed
+    positions, and the rid->row map."""
+
+    def __init__(self, index_dict, read_len, codes_fwd, codes_rc,
+                 seed_pos, row_of):
+        fps = np.array(sorted(index_dict.keys()), dtype=np.uint64)
+        offs = np.zeros(len(fps) + 1, dtype=np.int64)
+        rid_lists = []
+        for i, fp in enumerate(fps.tolist()):
+            lst = index_dict[fp]
+            offs[i + 1] = offs[i] + len(lst)
+            rid_lists.extend(lst)
+        self.fp_sorted = fps
+        self.fp_off = offs
+        self.fp_rids = np.array(rid_lists, dtype=np.int32)
+        self.read_len = read_len
+        self.codes_fwd = np.ascontiguousarray(codes_fwd)
+        self.codes_rc = np.ascontiguousarray(codes_rc)
+        self.seed_pos = np.ascontiguousarray(seed_pos.astype(np.int32))
+        self.row_of = np.ascontiguousarray(row_of.astype(np.int32))
+
+
+def align_window(bundle: NativeAlignBundle, seq: np.ndarray, offset: int):
+    """Native full window alignment; returns (pos, ed, rid, orient) sorted
+    column arrays."""
+    lib = get_lib()
+    assert lib is not None
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    cap = 4 * len(seq) + 1024
+    while True:
+        out_pos = np.zeros(cap, dtype=np.int32)
+        out_ed = np.zeros(cap, dtype=np.int32)
+        out_rid = np.zeros(cap, dtype=np.int32)
+        out_or = np.zeros(cap, dtype=np.int32)
+        n = lib.align_window(
+            _ptr(seq), len(seq), bundle.read_len, offset,
+            _ptr(bundle.fp_sorted), _ptr(bundle.fp_off), _ptr(bundle.fp_rids),
+            len(bundle.fp_sorted),
+            _ptr(bundle.codes_fwd), _ptr(bundle.codes_rc),
+            bundle.codes_fwd.shape[1] if bundle.codes_fwd.ndim == 2 else 0,
+            _ptr(bundle.seed_pos), _ptr(bundle.row_of),
+            _ptr(out_pos), _ptr(out_ed), _ptr(out_rid), _ptr(out_or), cap)
+        if n <= cap:
+            break
+        cap = int(n) + 64
+    return (out_pos[:n].copy(), out_ed[:n].copy(), out_rid[:n].copy(),
+            out_or[:n].copy())
+
+
+def collect_positions(meta, flat):
+    """Run the native position collection; returns grouped arrays
+    (rids, starts, cnts, pos, ed, orient)."""
+    lib = get_lib()
+    assert lib is not None
+    w_off, w_len, w_curpos, w_group, w_ctg = meta
+    a_pos, a_ed, a_rid, a_or = flat
+    n_windows = len(w_off)
+    cap = max(1, len(a_pos))
+    out_rid = np.zeros(cap, dtype=np.int32)
+    out_start = np.zeros(cap, dtype=np.int64)
+    out_cnt = np.zeros(cap, dtype=np.int32)
+    out_pos = np.zeros(cap, dtype=np.int32)
+    out_ed = np.zeros(cap, dtype=np.int32)
+    out_or = np.zeros(cap, dtype=np.int32)
+    out_nreads = np.zeros(1, dtype=np.int32)
+    lib.collect_positions(
+        n_windows, _ptr(w_off), _ptr(w_len), _ptr(w_curpos), _ptr(w_group),
+        _ptr(w_ctg), _ptr(a_pos), _ptr(a_ed), _ptr(a_rid), _ptr(a_or),
+        _ptr(out_rid), _ptr(out_start), _ptr(out_cnt), _ptr(out_pos),
+        _ptr(out_ed), _ptr(out_or), _ptr(out_nreads))
+    nr = int(out_nreads[0])
+    return (out_rid[:nr], out_start[:nr], out_cnt[:nr],
+            out_pos, out_ed, out_or)
+
+
+def paired_inc_pairs2(g1, g2, rlen1_all, rlen2_all, match_pow1,
+                      mismatch_pow1, match_pow2, mismatch_pow2, ins_table,
+                      ins_mean, ins_std, min_prob_start, min_prob_per_base,
+                      use_all_to_cov):
+    """Two-sided native pair loop on grouped position sets."""
+    lib = get_lib()
+    assert lib is not None
+    rid1, st1, cnt1, pos1, ed1, or1 = g1
+    rid2, st2, cnt2, pos2, ed2, or2 = g2
+    # pair capacity: match rids via searchsorted
+    idx = np.searchsorted(rid2, rid1)
+    idx = np.clip(idx, 0, max(len(rid2) - 1, 0))
+    common = len(rid2) > 0 and len(rid1) > 0
+    total_pairs = 0
+    if common:
+        match_mask = (idx < len(rid2)) & (rid2[idx] == rid1)
+        total_pairs = int(np.sum(cnt1[match_mask].astype(np.int64) *
+                                 cnt2[idx[match_mask]]))
+    out_p = np.zeros(max(total_pairs, 1), dtype=np.float64)
+    out_rid = np.zeros(max(total_pairs, 1), dtype=np.int32)
+    out_ev_pos = np.zeros(2 * max(total_pairs, 1), dtype=np.int32)
+    out_ev_typ = np.zeros(2 * max(total_pairs, 1), dtype=np.int32)
+    out_ev_cnt = np.zeros(1, dtype=np.int64)
+    n = lib.paired_inc_pairs2(
+        _ptr(rid1), _ptr(st1), _ptr(cnt1), len(rid1),
+        _ptr(pos1), _ptr(ed1), _ptr(or1),
+        _ptr(rid2), _ptr(st2), _ptr(cnt2), len(rid2),
+        _ptr(pos2), _ptr(ed2), _ptr(or2),
+        _ptr(rlen1_all), _ptr(rlen2_all),
         _ptr(match_pow1), _ptr(mismatch_pow1),
         _ptr(match_pow2), _ptr(mismatch_pow2),
         _ptr(ins_table), len(ins_table), ins_mean, ins_std,

@@ -200,6 +200,251 @@ void process_hit_batch(const uint8_t* genome, int64_t glen,
   }
 }
 
+// ------------------------------------------------------- window aligner
+// The whole AlignSubpathInternal (reference graph.cc:839-899) in one call:
+// max-hash window query on both strands, candidate expansion through the
+// fingerprint index, precomputed seed positions, the exact 0-1 BFS
+// extension, and the first-wins (position, read) dedup with sorted output.
+struct WinAl {
+  int32_t ed, orient;
+};
+
+int64_t align_window(
+    const uint8_t* seq, int64_t glen, int32_t read_len, int32_t offset,
+    const uint64_t* fp_sorted, const int64_t* fp_off, const int32_t* fp_rids,
+    int64_t n_fp,
+    const uint8_t* codes_fwd, const uint8_t* codes_rc, int64_t stride,
+    const int32_t* seed_pos,  // [R, 2] row-major (fwd, rc)
+    const int32_t* row_of,    // rid -> row index in the matrices
+    int32_t* out_pos, int32_t* out_ed, int32_t* out_rid, int32_t* out_or,
+    int64_t cap) {
+  const int K = 15;
+  if (glen < read_len || read_len == 0) return 0;
+  // both strands' collapsed window fingerprints
+  std::vector<int32_t> pos_buf(glen);
+  std::vector<uint64_t> hash_buf(glen);
+  int64_t n_fwd = maxhash_window_query(seq, glen, read_len, hash_buf.data(),
+                                       pos_buf.data(), glen);
+  // candidate map: rid -> signed seed positions, fwd first then rc
+  std::map<int32_t, std::vector<int64_t>> cands;
+  auto lookup = [&](uint64_t mh, int64_t signed_pos) {
+    // binary search in fp_sorted
+    int64_t lo = 0, hi = n_fp;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (fp_sorted[mid] < mh)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    if (lo < n_fp && fp_sorted[lo] == mh) {
+      for (int64_t k = fp_off[lo]; k < fp_off[lo + 1]; k++) {
+        cands[fp_rids[k]].push_back(signed_pos);
+      }
+    }
+  };
+  for (int64_t i = 0; i < n_fwd; i++) lookup(hash_buf[i], pos_buf[i]);
+  std::vector<uint8_t> rcseq(glen);
+  for (int64_t i = 0; i < glen; i++) {
+    uint8_t c = seq[glen - 1 - i];
+    rcseq[i] = c < 4 ? (uint8_t)(3 - c) : c;
+  }
+  int64_t n_rc = maxhash_window_query(rcseq.data(), glen, read_len,
+                                      hash_buf.data(), pos_buf.data(), glen);
+  for (int64_t i = 0; i < n_rc; i++) lookup(hash_buf[i], -(int64_t)pos_buf[i]);
+
+  // extension per candidate, dedup first-wins by (position, rid)
+  int32_t max_rlen = read_len;
+  int32_t vdim = max_rlen + 47;
+  std::vector<int32_t> visited((int64_t)(max_rlen + 47) * vdim, 0);
+  int32_t stamp = 0;
+  std::map<std::pair<int32_t, int32_t>, WinAl> current;
+  for (auto& kv : cands) {
+    int32_t rid = kv.first;
+    int32_t row = row_of[rid];
+    for (int64_t e2 : kv.second) {
+      int64_t g0;
+      const uint8_t* read;
+      int32_t orient, r0;
+      if (e2 > 0) {
+        g0 = e2 - K + 1;
+        read = codes_fwd + (int64_t)row * stride;
+        orient = 0;
+        r0 = seed_pos[2 * row];
+      } else {
+        g0 = glen + e2 - 1;
+        read = codes_rc + (int64_t)row * stride;
+        orient = 1;
+        r0 = seed_pos[2 * row + 1];
+      }
+      int32_t errs, begin;
+      process_hit_one(seq, glen, read, read_len, (int32_t)g0, r0, &errs,
+                      &begin, visited, stamp, vdim);
+      if (errs < 0) continue;
+      std::pair<int32_t, int32_t> key(begin + 1 + offset, rid);
+      current.emplace(key, WinAl{errs, orient});  // first insert wins
+    }
+  }
+  int64_t n = 0;
+  for (auto& kv : current) {
+    if (n < cap) {
+      out_pos[n] = kv.first.first;
+      out_rid[n] = kv.first.second;
+      out_ed[n] = kv.second.ed;
+      out_or[n] = kv.second.orient;
+    }
+    n++;
+  }
+  return n;  // may exceed cap: caller retries with a larger buffer
+}
+
+// ------------------------------------------------ position collection
+// GetPositionsOnlyPath's per-alignment work (reference graph.cc:535-598)
+// over a window stream covering a whole walk: offset positions by each
+// window's cur_pos, apply the trailing-duplicate filter
+// (pos < max_pos - 5 skip; max_pos advances per path-index group, resets
+// per contig), dedup per read by exact position (replace), and emit the
+// final per-read lists grouped by ascending read id.
+struct PosEntry {
+  int32_t pos, ed, orient;
+};
+
+int64_t collect_positions(
+    int32_t n_windows, const int64_t* w_off, const int32_t* w_len,
+    const int32_t* w_curpos, const int32_t* w_group, const int32_t* w_ctg,
+    const int32_t* a_pos, const int32_t* a_ed, const int32_t* a_rid,
+    const int32_t* a_or,
+    int32_t* out_rid, int64_t* out_start, int32_t* out_cnt,
+    int32_t* out_pos, int32_t* out_ed, int32_t* out_or,
+    int32_t* out_nreads) {
+  std::map<int32_t, std::vector<PosEntry>> current;
+  int32_t max_pos = 0;
+  int32_t cur_max_pos = 0;
+  int32_t last_group = -1;
+  int32_t last_ctg = -1;
+  for (int32_t w = 0; w < n_windows; w++) {
+    if (w_ctg[w] != last_ctg) {
+      max_pos = 0;
+      cur_max_pos = 0;
+      last_ctg = w_ctg[w];
+      last_group = w_group[w];
+    } else if (w_group[w] != last_group) {
+      max_pos = max_pos > cur_max_pos ? max_pos : cur_max_pos;
+      cur_max_pos = 0;
+      last_group = w_group[w];
+    }
+    int32_t curpos = w_curpos[w];
+    for (int32_t k = 0; k < w_len[w]; k++) {
+      int64_t idx = w_off[w] + k;
+      int32_t pos = a_pos[idx] + curpos;
+      if (pos < max_pos - 5) continue;
+      if (pos > cur_max_pos) cur_max_pos = pos;
+      auto& lst = current[a_rid[idx]];
+      bool found = false;
+      for (auto& e : lst) {
+        if (e.pos == pos) {
+          e.ed = a_ed[idx];
+          e.orient = a_or[idx];
+          found = true;
+          break;
+        }
+      }
+      if (!found) lst.push_back({pos, a_ed[idx], a_or[idx]});
+    }
+  }
+  int32_t nr = 0;
+  int64_t total = 0;
+  for (auto& kv : current) {  // std::map: ascending rid
+    out_rid[nr] = kv.first;
+    out_start[nr] = total;
+    out_cnt[nr] = (int32_t)kv.second.size();
+    for (auto& e : kv.second) {
+      out_pos[total] = e.pos;
+      out_ed[total] = e.ed;
+      out_or[total] = e.orient;
+      total++;
+    }
+    nr++;
+  }
+  *out_nreads = nr;
+  return total;
+}
+
+// Two-sided pair loop: intersect both mates' grouped position lists by
+// read id (two-pointer over ascending rids) and run the innie pair
+// products + events (reference graph.cc:1853-1892).
+int64_t paired_inc_pairs2(
+    const int32_t* rid1, const int64_t* st1, const int32_t* cnt1, int32_t n1,
+    const int32_t* pos1, const int32_t* ed1, const int32_t* or1,
+    const int32_t* rid2, const int64_t* st2, const int32_t* cnt2, int32_t n2,
+    const int32_t* pos2, const int32_t* ed2, const int32_t* or2,
+    const int32_t* rlen1_all, const int32_t* rlen2_all,
+    const double* match_pow1, const double* mismatch_pow1,
+    const double* match_pow2, const double* mismatch_pow2,
+    const double* ins_table, int64_t ins_n, double ins_mean, double ins_std,
+    double min_prob_start, double min_prob_per_base, int32_t use_all_to_cov,
+    double* out_p, int32_t* out_rid,
+    int32_t* out_ev_pos, int32_t* out_ev_typ, int64_t* out_ev_cnt) {
+  int64_t np = 0;
+  int64_t ne = 0;
+  const double denom = sqrt(2.0 * M_PI) * ins_std;
+  int32_t i = 0, j = 0;
+  while (i < n1 && j < n2) {
+    if (rid1[i] < rid2[j]) { i++; continue; }
+    if (rid2[j] < rid1[i]) { j++; continue; }
+    int32_t rid = rid1[i];
+    int32_t L1 = rlen1_all[rid];
+    int32_t L2 = rlen2_all[rid];
+    double threshold = exp(min_prob_start + min_prob_per_base * (L2 + L2));
+    const int32_t* xp = pos1 + st1[i];
+    const int32_t* xe = ed1 + st1[i];
+    const int32_t* xo = or1 + st1[i];
+    const int32_t* yp = pos2 + st2[j];
+    const int32_t* ye = ed2 + st2[j];
+    const int32_t* yo = or2 + st2[j];
+    for (int32_t a = 0; a < cnt1[i]; a++) {
+      double p1v = mismatch_pow1[xe[a]] * match_pow1[L1 - xe[a]];
+      for (int32_t b = 0; b < cnt2[j]; b++) {
+        if (xo[a] == yo[b]) continue;
+        int64_t dist;
+        if (xp[a] < yp[b]) {
+          if (xo[a] != 0 || yo[b] != 1) continue;
+          dist = (int64_t)yp[b] - xp[a] + L2;
+        } else {
+          if (xo[a] != 1 || yo[b] != 0) continue;
+          dist = (int64_t)xp[a] - yp[b] + L1;
+        }
+        double p2v = mismatch_pow2[ye[b]] * match_pow2[L2 - ye[b]];
+        double insprob;
+        if (dist >= 0 && dist < ins_n) {
+          insprob = ins_table[dist];
+        } else {
+          double z = ((double)dist - ins_mean) / ins_std;
+          insprob = exp(-z * z / 2.0) / denom;
+        }
+        double p = p1v * p2v * insprob;
+        if (p > threshold) {
+          out_ev_pos[ne] = xp[a] > yp[b] ? xp[a] : yp[b];
+          out_ev_typ[ne] = 3;
+          ne++;
+          if (use_all_to_cov) {
+            out_ev_pos[ne] = xp[a] < yp[b] ? xp[a] : yp[b];
+            out_ev_typ[ne] = 3;
+            ne++;
+          }
+        }
+        out_p[np] = p;
+        out_rid[np] = rid;
+        np++;
+      }
+    }
+    i++;
+    j++;
+  }
+  *out_ev_cnt = ne;
+  return np;
+}
+
 // ------------------------------------------------------- paired pair loop
 // The incremental paired scorer's hot inner loop (reference
 // CalcScoreForPathInc pair products, graph.cc:1853-1892): for each read,

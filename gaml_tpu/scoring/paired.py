@@ -209,6 +209,39 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
     events: List[Tuple[int, int]] = [(0, 1)]
     ctgs, gaps = split_at_gaps(path)
 
+    from ..native import get_lib
+
+    if get_lib() is not None:
+        # fully native per-walk pipeline: window staging (python, O(nodes))
+        # -> C++ position collection -> C++ two-sided pair loop
+        from ..native import collect_positions, paired_inc_pairs2
+
+        ctgs_with_st = []
+        cur_len = 0
+        for i, ctg in enumerate(ctgs):
+            if i > 0:
+                cur_len += gaps[i - 1]
+                events.append((cur_len, 1))
+            ctgs_with_st.append((ctg, cur_len))
+            cur_len += path_len(graph, ctg)
+        g1 = collect_positions(
+            *read_set1.stage_position_windows(graph, ctgs_with_st))
+        g2 = collect_positions(
+            *read_set2.stage_position_windows(graph, ctgs_with_st))
+        p_arr, rid_arr, ev_pos, ev_typ = paired_inc_pairs2(
+            g1, g2,
+            np.ascontiguousarray(read_set1.read_lens_array().astype(np.int32)),
+            np.ascontiguousarray(read_set2.read_lens_array().astype(np.int32)),
+            np.ascontiguousarray(read_set1.match_probs),
+            np.ascontiguousarray(read_set1.mismatch_probs),
+            np.ascontiguousarray(read_set2.match_probs),
+            np.ascontiguousarray(read_set2.mismatch_probs),
+            np.ascontiguousarray(table), float(insert_mean), float(insert_std),
+            float(min_prob_start), float(min_prob_per_base), use_all_to_cov)
+        changes.append((rid_arr, p_arr))
+        events.extend(zip(ev_pos.tolist(), ev_typ.tolist()))
+        return _coverage_sweep(events, insert_mean, insert_std, exp_cov_move)
+
     positions1: Dict[int, list] = {}
     positions2: Dict[int, list] = {}
     cur_len = 0
@@ -221,44 +254,6 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
         cur_len += path_len(graph, ctg)
 
     rids = [rid for rid in sorted(positions1) if rid in positions2]
-
-    from ..native import get_lib
-
-    if get_lib() is not None and rids:
-        from ..native import paired_inc_pairs
-
-        n = len(rids)
-        p1_cnt = np.array([len(positions1[r]) for r in rids], dtype=np.int32)
-        p2_cnt = np.array([len(positions2[r]) for r in rids], dtype=np.int32)
-        p1_start = np.concatenate([[0], np.cumsum(p1_cnt)[:-1]]).astype(np.int64)
-        p2_start = np.concatenate([[0], np.cumsum(p2_cnt)[:-1]]).astype(np.int64)
-
-        def flat(poses, field):
-            return np.array([getattr(al, field) for r in rids for al in poses[r]],
-                            dtype=np.int32)
-
-        pos1 = flat(positions1, "position")
-        ed1 = flat(positions1, "edit_dist")
-        or1 = flat(positions1, "orientation")
-        pos2 = flat(positions2, "position")
-        ed2 = flat(positions2, "edit_dist")
-        or2 = flat(positions2, "orientation")
-        rlen1 = np.array([read_set1.get_read_len(r) for r in rids], np.int32)
-        rlen2 = np.array([read_set2.get_read_len(r) for r in rids], np.int32)
-        total_pairs = int(np.sum(p1_cnt.astype(np.int64) * p2_cnt))
-        p_arr, rid_arr, ev_pos, ev_typ = paired_inc_pairs(
-            np.array(rids, dtype=np.int32), p1_start, p1_cnt, pos1, ed1, or1,
-            p2_start, p2_cnt, pos2, ed2, or2, rlen1, rlen2,
-            np.ascontiguousarray(read_set1.match_probs),
-            np.ascontiguousarray(read_set1.mismatch_probs),
-            np.ascontiguousarray(read_set2.match_probs),
-            np.ascontiguousarray(read_set2.mismatch_probs),
-            np.ascontiguousarray(table), float(insert_mean), float(insert_std),
-            float(min_prob_start), float(min_prob_per_base), use_all_to_cov,
-            total_pairs)
-        changes.append((rid_arr, p_arr))
-        events.extend(zip(ev_pos.tolist(), ev_typ.tolist()))
-        return _coverage_sweep(events, insert_mean, insert_std, exp_cov_move)
 
     chunk_r: List[int] = []
     chunk_p: List[float] = []

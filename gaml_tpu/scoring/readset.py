@@ -24,9 +24,12 @@ import numpy as np
 
 from ..align.aligner import (
     Alignment,
+    AlignmentColumns,
     K_MIN_SUBPATH_LENGTH,
     SubpathAligner,
 )
+
+_EMPTY_COLUMNS = AlignmentColumns.from_tuples([])
 from ..core import dna
 from ..core.io import iter_fastq
 from ..core.paths import invert_path
@@ -122,11 +125,39 @@ class ReadSet:
             main_len = max(by_len, key=lambda L: len(by_len[L]))
             rids = by_len[main_len]
             if main_len > 15 and rids:
-                mat = pack_kmers_batch(
-                    np.stack([self.read_seqs[r] for r in rids]))
+                codes_fwd = np.stack([self.read_seqs[r] for r in rids])
+                mat = pack_kmers_batch(codes_fwd)
                 self.aligner._read_cache.kmer_matrix = mat
                 self.aligner._read_cache.matrix_rids = {
                     r: i for i, r in enumerate(rids)}
+                self._build_native_bundle(codes_fwd, rids, main_len)
+
+    def _build_native_bundle(self, codes_fwd, rids, main_len) -> None:
+        """Attach the native window-aligner bundle when the C++ library is
+        built, the index is max-hash, and the matrices cover every indexed
+        read."""
+        from ..native import get_lib
+
+        if get_lib() is None or self.index_kind != "maxhash":
+            return
+        covered = set(rids)
+        for lst in self.index.index.values():
+            for rid in lst:
+                if rid not in covered:
+                    return  # mixed read lengths: python path handles them
+        from ..core.dna import _COMP_LUT
+        from ..native import NativeAlignBundle
+
+        self.aligner._read_cache.build_precomputes()
+        seed_pos = self.aligner._read_cache.seed_kmer_pos
+        if seed_pos is None:
+            return
+        codes_rc = _COMP_LUT[codes_fwd][:, ::-1]
+        row_of = np.full(self.reads_num, -1, dtype=np.int32)
+        for i, r in enumerate(rids):
+            row_of[r] = i
+        self.aligner.native_bundle = NativeAlignBundle(
+            self.index.index, main_len, codes_fwd, codes_rc, seed_pos, row_of)
 
     def calc_max_read_len(self) -> None:
         """Precompute match/mismatch power tables (graph.cc:1443-1454)."""
@@ -222,22 +253,40 @@ class ReadSet:
         ``last_end`` deliberately carries across walks as in the C++)."""
         subpaths: Set[Subpath] = set()
         last_end = -1
+        memo = getattr(self, "_precompute_memo", None)
+        if memo is None:
+            memo = self._precompute_memo = {}
+        if len(memo) > 200_000:
+            memo.clear()
         for path in paths:
+            pkey = tuple(path)
+            done = memo.get(pkey)
+            if done is not None:
+                # all this walk's windows are cached (cache only grows), so
+                # no inserts can happen; thread the exact last_end carry
+                last_end = done
+                continue
+            fully_cached = True
             for i in range(len(path)):
                 if path[i] < 0:
                     continue
                 cur_seq, cur_end = self._window_at(path, i, graph, stop_at_gap=True)
                 key = tuple(cur_seq)
-                if key not in self.aligment_cache and (
-                        last_end != cur_end or
-                        (len(cur_seq) == 1 and graph.node_len(cur_seq[0]) > 150)):
-                    subpaths.add(key)
-                    subpaths.add(tuple(invert_path(cur_seq)))
+                if key not in self.aligment_cache:
+                    fully_cached = False
+                    if (last_end != cur_end or
+                            (len(cur_seq) == 1 and
+                             graph.node_len(cur_seq[0]) > 150)):
+                        subpaths.add(key)
+                        subpaths.add(tuple(invert_path(cur_seq)))
                 if graph.node_len(path[i]) > K_MIN_SUBPATH_LENGTH:
                     if (path[i],) not in self.aligment_cache:
+                        fully_cached = False
                         subpaths.add((path[i],))
                         subpaths.add((path[i] ^ 1,))
                 last_end = cur_end
+            if fully_cached:
+                memo[pkey] = last_end
         if subpaths:
             self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
 
@@ -247,7 +296,7 @@ class ReadSet:
         internal-aligner branch).  The device backend batches every window
         into one kernel call."""
         for sp in subpaths:
-            self.aligment_cache[sp] = []
+            self.aligment_cache[sp] = _EMPTY_COLUMNS
         if self.backend == "device" and len(subpaths) > 1:
             results = self.aligner.align_subpaths_batch(graph, list(subpaths))
             for sp, als in zip(subpaths, results):
@@ -256,9 +305,9 @@ class ReadSet:
         for sp in subpaths:
             self.aligment_cache[sp] = self.aligner.align_subpath(graph, sp)
 
-    def get_alignment_for_subpath(self, subpath: Subpath) -> List[Alignment]:
+    def get_alignment_for_subpath(self, subpath: Subpath) -> AlignmentColumns:
         """Cache lookup; empty on miss (reference graph.cc:1463-1480)."""
-        return self.aligment_cache.get(tuple(subpath), [])
+        return self.aligment_cache.get(tuple(subpath), _EMPTY_COLUMNS)
 
     # ----------------------------------------------------- position assembly
     def add_positions(self, graph, path: Sequence[int], st: int) -> int:
@@ -276,7 +325,7 @@ class ReadSet:
         for i in range(len(path)):
             added_len += graph.node_len(path[i])
             cur_seq, _ = self._window_at(path, i, graph, stop_at_gap=False)
-            for al in self.get_alignment_for_subpath(tuple(cur_seq)):
+            for al in self.get_alignment_for_subpath(tuple(cur_seq)).tuples():
                 plist = self.positions[al.read_id]
                 pos = al.position + cur_pos
                 for j, (p, _) in enumerate(plist):
@@ -309,7 +358,7 @@ class ReadSet:
             if graph.node_len(cur_seq[0]) > K_MIN_SUBPATH_LENGTH:
                 seqs.append([cur_seq[0]])
             for seq in seqs:
-                for al in self.get_alignment_for_subpath(tuple(seq)):
+                for al in self.get_alignment_for_subpath(tuple(seq)).tuples():
                     plist = self.positions[al.read_id]
                     pos = al.position + cur_pos
                     for j, (p, _) in enumerate(plist):
@@ -329,7 +378,7 @@ class ReadSet:
         self.positions = [[] for _ in range(self.reads_num)]
         seq = graph.spell(path, gaps_as_n=False)
         total_len = len(seq)
-        for al in self.aligner.align_seq(seq):
+        for al in self.aligner.align_seq(seq).tuples():
             self.positions[al.read_id].append(
                 (al.position, (al.edit_dist, al.orientation)))
         return self.positions, total_len
@@ -354,7 +403,7 @@ class ReadSet:
             if graph.node_len(cur_seq[0]) > K_MIN_SUBPATH_LENGTH:
                 seqs.append([cur_seq[0]])
             for seq in seqs:
-                for al in self.get_alignment_for_subpath(tuple(seq)):
+                for al in self.get_alignment_for_subpath(tuple(seq)).tuples():
                     pos = al.position + cur_pos
                     if pos < max_pos - 5:
                         continue
@@ -369,6 +418,101 @@ class ReadSet:
                         lst.append(moved)
             cur_pos += graph.node_len(path[i])
             max_pos = max(max_pos, cur_max_pos)
+
+    def _stage_ctg(self, graph, ctg):
+        """Per-contig window stream (relative coordinates) for the native
+        collect kernel; memoized once every window of the contig is cached
+        (cache values are immutable and the cache only grows)."""
+        memo = getattr(self, "_stage_memo", None)
+        if memo is None:
+            memo = self._stage_memo = {}
+        if len(memo) > 100_000:
+            memo.clear()
+        ckey = tuple(ctg)
+        hit = memo.get(ckey)
+        if hit is not None:
+            return hit
+
+        subpaths: Set[Subpath] = set()
+        self.get_subpaths_from_path(ctg, graph, subpaths)
+        if subpaths:
+            self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
+
+        w_off: List[int] = []
+        w_len: List[int] = []
+        w_curpos: List[int] = []
+        w_group: List[int] = []
+        cols: List = []
+        total = 0
+        cur_pos = 0
+        all_cached = True
+        for i in range(len(ctg)):
+            cur_seq, _ = self._window_at(ctg, i, graph, stop_at_gap=False)
+            seqs = [cur_seq]
+            if graph.node_len(cur_seq[0]) > K_MIN_SUBPATH_LENGTH:
+                seqs.append([cur_seq[0]])
+            for seq in seqs:
+                key = tuple(seq)
+                if key not in self.aligment_cache:
+                    all_cached = False
+                ac = self.get_alignment_for_subpath(key)
+                w_off.append(total)
+                w_len.append(len(ac))
+                w_curpos.append(cur_pos)
+                w_group.append(i)
+                cols.append(ac)
+                total += len(ac)
+            cur_pos += graph.node_len(ctg[i])
+        if cols:
+            flat = (np.concatenate([c.position for c in cols]),
+                    np.concatenate([c.edit_dist for c in cols]),
+                    np.concatenate([c.read_id for c in cols]),
+                    np.concatenate([c.orientation for c in cols]))
+        else:
+            z = np.zeros(0, np.int32)
+            flat = (z, z, z, z)
+        meta = (np.array(w_off, dtype=np.int64),
+                np.array(w_len, dtype=np.int32),
+                np.array(w_curpos, dtype=np.int32),
+                np.array(w_group, dtype=np.int32))
+        result = (meta, flat)
+        if all_cached:
+            memo[ckey] = result
+        return result
+
+    def stage_position_windows(self, graph, ctgs_with_st):
+        """Native fast path staging: the exact window stream of
+        get_positions_only_path over a walk's contigs (with their scaffold
+        offsets): (meta arrays, flat alignment arrays) for the C++
+        collect_positions kernel.  Runs the same cache precompute."""
+        metas = []
+        flats = []
+        group_base = 0
+        for ci, (ctg, st) in enumerate(ctgs_with_st):
+            (w_off, w_len, w_curpos, w_group), flat = self._stage_ctg(graph, ctg)
+            metas.append((w_off, w_len, w_curpos + np.int32(st),
+                          w_group + np.int32(group_base),
+                          np.full(len(w_off), ci, dtype=np.int32)))
+            flats.append(flat)
+            group_base += int(w_group[-1]) + 1 if len(w_group) else 0
+        if not metas:
+            z32 = np.zeros(0, np.int32)
+            return ((np.zeros(0, np.int64), z32, z32, z32, z32),
+                    (z32, z32, z32, z32))
+        # re-offset the flat slices when concatenating contigs
+        off_adj = []
+        acc = 0
+        for (w_off, _w_len, _c, _g, _ci), flat in zip(metas, flats):
+            off_adj.append(w_off + acc)
+            acc += len(flat[0])
+        meta_out = (np.concatenate(off_adj),
+                    np.concatenate([m[1] for m in metas]),
+                    np.concatenate([m[2] for m in metas]),
+                    np.concatenate([m[3] for m in metas]),
+                    np.concatenate([m[4] for m in metas]))
+        flat_out = tuple(np.concatenate([f[k] for f in flats])
+                         for k in range(4))
+        return meta_out, flat_out
 
     # --------------------------------------------------------------- advice
     def build_advice_index(self, graph, threshold: int) -> None:

@@ -1,0 +1,125 @@
+"""Head-to-head benchmark: the real reference binary vs gaml-tpu on the
+same dataset with the same annealing budget.
+
+Their likelihoods are directly comparable (scorer parity is established by
+tests/test_reference_differential.py).  Prints both sides' start/best
+likelihood and wall time.
+
+    python tools/compare_vs_reference.py [genome_kb] [n_pairs] [iters]
+"""
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import numpy as np
+
+
+def main():
+    genome_kb = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 15000
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+    out_dir = sys.argv[4] if len(sys.argv) > 4 else "/tmp/gaml_vs_ref"
+    os.makedirs(out_dir, exist_ok=True)
+
+    from fixtures import lastgraph_text, write_fastq
+    from test_scoring import make_pairs
+
+    rng = np.random.default_rng(99)
+    # chain of long nodes with short connectors + branch noise
+    node_seqs = []
+    arcs = []
+    chain_idx = []
+    remaining = genome_kb * 1000
+    while remaining > 0:
+        ln = int(rng.integers(1500, 4000)) if len(node_seqs) % 2 == 0 \
+            else int(rng.integers(60, 200))
+        ln = min(ln, remaining)
+        node_seqs.append("".join("ACGT"[i] for i in rng.integers(0, 4, ln)))
+        chain_idx.append(len(node_seqs))  # 1-based velvet id
+        remaining -= ln
+    for a, b in zip(chain_idx, chain_idx[1:]):
+        arcs.append((a, b))
+    for _ in range(len(chain_idx) // 4):
+        src = chain_idx[int(rng.integers(0, len(chain_idx) - 1))]
+        node_seqs.append("".join("ACGT"[i] for i in rng.integers(0, 4, 80)))
+        arcs.append((src, len(node_seqs)))
+    genome = "".join(node_seqs[i - 1] for i in chain_idx)
+
+    lg = f"{out_dir}/LastGraph"
+    with open(lg, "w") as f:
+        f.write(lastgraph_text(node_seqs, arcs))
+    im, istd, L = 300, 25, 100
+    m1, m2 = make_pairs(rng, genome, n_pairs, L, im, istd)
+    write_fastq(f"{out_dir}/m1.fq", m1)
+    write_fastq(f"{out_dir}/m2.fq", m2)
+    cfg_path = f"{out_dir}/run.cfg"
+    with open(cfg_path, "w") as f:
+        f.write(f"""graph={lg}
+max_iterations={iters}
+output_prefix={out_dir}/refout
+
+[lib]
+type=paired
+filename1={out_dir}/m1.fq
+filename2={out_dir}/m2.fq
+insert_mean={im}
+insert_std={istd}
+cache_prefix={out_dir}/cache
+""")
+
+    # ---- reference
+    ref_bin = "/tmp/gaml_refbuild/gaml"
+    if not os.path.exists(ref_bin):
+        subprocess.run(["bash", "tools/build_reference.sh"], check=True,
+                       cwd=os.path.join(os.path.dirname(__file__), ".."))
+    t0 = time.time()
+    proc = subprocess.run(["stdbuf", "-o0", ref_bin, cfg_path],
+                          capture_output=True, timeout=36000, cwd=out_dir)
+    ref_time = time.time() - t0
+    text = proc.stdout.decode()
+    start = re.findall(r"start prob (-?[\d.]+)", text)
+    iters_lines = re.findall(
+        r"itnum (\d+) .* new prob (-?[\d.]+) (-?[\d.]+) (-?[\d.]+)", text)
+    ref_best = float(iters_lines[-1][3]) if iters_lines else float("nan")
+    ref_iters = int(iters_lines[-1][0]) if iters_lines else 0
+    print(f"reference: start={start[0] if start else '?'} "
+          f"best={ref_best} iters={ref_iters} time={ref_time:.2f}s "
+          f"rc={proc.returncode}", flush=True)
+
+    # ---- ours
+    from gaml_tpu.config import load_config, prepare_read_sets
+    from gaml_tpu.core.io import load_lastgraph
+    from gaml_tpu.optimize.anneal import Optimizer
+    from gaml_tpu.optimize.settings import AssemblySettings
+    from gaml_tpu.scoring.calculator import ProbCalculator
+
+    configs, rs_cfgs = load_config(cfg_path)
+    single, paired, pacbio = prepare_read_sets(rs_cfgs)
+    gr = load_lastgraph(lg)
+    for _c, (rs1, rs2) in paired:
+        for rs in (rs1, rs2):
+            rs.preprocess_reads()
+            rs.prepare_read_index()
+    pc = ProbCalculator(single, paired, pacbio, gr)
+    settings = AssemblySettings.from_config(configs)
+    settings.output_prefix = f"{out_dir}/ourout"
+    opt = Optimizer(gr, pc, settings, longest_read=im, log=lambda *a: None)
+    paths = [[i] for i in range(0, gr.num_nodes, 2) if gr.node_len(i) > 500]
+    t0 = time.time()
+    opt.run(paths, write_outputs=False)
+    our_time = time.time() - t0
+    print(f"ours:      start={opt.history[0]['cur_prob']:.6f} "
+          f"best={opt.best_prob:.6f} iters={opt.itnum} time={our_time:.2f}s",
+          flush=True)
+    print(f"summary: best_delta={opt.best_prob - ref_best:+.4f} "
+          f"(positive = ours better) speedup={ref_time / max(our_time, 1e-9):.2f}x",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
