@@ -129,13 +129,15 @@ def pack_kmers_batch(codes_2d: np.ndarray, k: int = K_INDEX_KMER) -> np.ndarray:
 def revcomp_kmers(kmers: np.ndarray, k: int = K_INDEX_KMER) -> np.ndarray:
     """Reverse-complement packed k-mer values (complement = per-base XOR 3,
     then reverse the 2-bit groups)."""
-    v = (kmers.astype(np.uint32) ^ np.uint32((1 << (2 * k)) - 1)).copy()
+    v = (kmers.astype(np.uint32) ^ np.uint32((1 << (2 * k)) - 1))
     r = np.zeros_like(v)
+    tmp = np.empty_like(v)
     two = np.uint32(2)
     three = np.uint32(3)
     for _ in range(k):
         r <<= two
-        np.bitwise_or(r, v & three, out=r)
+        np.bitwise_and(v, three, out=tmp)
+        np.bitwise_or(r, tmp, out=r)
         v >>= two
     return r
 

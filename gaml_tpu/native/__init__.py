@@ -208,10 +208,10 @@ def align_window(bundle: NativeAlignBundle, seq: np.ndarray, offset: int):
     seq = np.ascontiguousarray(seq, dtype=np.uint8)
     cap = 4 * len(seq) + 1024
     while True:
-        out_pos = np.zeros(cap, dtype=np.int32)
-        out_ed = np.zeros(cap, dtype=np.int32)
-        out_rid = np.zeros(cap, dtype=np.int32)
-        out_or = np.zeros(cap, dtype=np.int32)
+        out_pos = np.empty(cap, dtype=np.int32)
+        out_ed = np.empty(cap, dtype=np.int32)
+        out_rid = np.empty(cap, dtype=np.int32)
+        out_or = np.empty(cap, dtype=np.int32)
         n = lib.align_window(
             _ptr(seq), len(seq), bundle.read_len, offset,
             _ptr(bundle.fp_sorted), _ptr(bundle.fp_off), _ptr(bundle.fp_rids),
@@ -236,12 +236,12 @@ def collect_positions(meta, flat):
     a_pos, a_ed, a_rid, a_or = flat
     n_windows = len(w_off)
     cap = max(1, len(a_pos))
-    out_rid = np.zeros(cap, dtype=np.int32)
-    out_start = np.zeros(cap, dtype=np.int64)
-    out_cnt = np.zeros(cap, dtype=np.int32)
-    out_pos = np.zeros(cap, dtype=np.int32)
-    out_ed = np.zeros(cap, dtype=np.int32)
-    out_or = np.zeros(cap, dtype=np.int32)
+    out_rid = np.empty(cap, dtype=np.int32)
+    out_start = np.empty(cap, dtype=np.int64)
+    out_cnt = np.empty(cap, dtype=np.int32)
+    out_pos = np.empty(cap, dtype=np.int32)
+    out_ed = np.empty(cap, dtype=np.int32)
+    out_or = np.empty(cap, dtype=np.int32)
     out_nreads = np.zeros(1, dtype=np.int32)
     lib.collect_positions(
         n_windows, _ptr(w_off), _ptr(w_len), _ptr(w_curpos), _ptr(w_group),
