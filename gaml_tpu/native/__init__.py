@@ -77,7 +77,8 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64]
         lib.collect_positions.restype = ctypes.c_int64
         lib.collect_positions.argtypes = [ctypes.c_int32] + \
-            [ctypes.c_void_p] * 9 + [ctypes.c_void_p] * 6 + [ctypes.c_void_p]
+            [ctypes.c_void_p] * 9 + [ctypes.c_int32] + \
+            [ctypes.c_void_p] * 6 + [ctypes.c_void_p]
         lib.paired_inc_pairs2.restype = ctypes.c_int64
         lib.paired_inc_pairs2.argtypes = \
             [ctypes.c_void_p] * 3 + [ctypes.c_int32] + [ctypes.c_void_p] * 3 + \
@@ -227,9 +228,11 @@ def align_window(bundle: NativeAlignBundle, seq: np.ndarray, offset: int):
             out_or[:n].copy())
 
 
-def collect_positions(meta, flat):
+def collect_positions(meta, flat, use_filter: bool = True):
     """Run the native position collection; returns grouped arrays
-    (rids, starts, cnts, pos, ed, orient)."""
+    (rids, starts, cnts, pos, ed, orient).  use_filter selects the
+    GetPositionsOnlyPath trailing-duplicate filter; off = AddPositions
+    semantics."""
     lib = get_lib()
     assert lib is not None
     w_off, w_len, w_curpos, w_group, w_ctg = meta
@@ -246,6 +249,7 @@ def collect_positions(meta, flat):
     lib.collect_positions(
         n_windows, _ptr(w_off), _ptr(w_len), _ptr(w_curpos), _ptr(w_group),
         _ptr(w_ctg), _ptr(a_pos), _ptr(a_ed), _ptr(a_rid), _ptr(a_or),
+        int(use_filter),
         _ptr(out_rid), _ptr(out_start), _ptr(out_cnt), _ptr(out_pos),
         _ptr(out_ed), _ptr(out_or), _ptr(out_nreads))
     nr = int(out_nreads[0])

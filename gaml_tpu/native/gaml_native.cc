@@ -313,7 +313,7 @@ int64_t collect_positions(
     int32_t n_windows, const int64_t* w_off, const int32_t* w_len,
     const int32_t* w_curpos, const int32_t* w_group, const int32_t* w_ctg,
     const int32_t* a_pos, const int32_t* a_ed, const int32_t* a_rid,
-    const int32_t* a_or,
+    const int32_t* a_or, int32_t use_filter,
     int32_t* out_rid, int64_t* out_start, int32_t* out_cnt,
     int32_t* out_pos, int32_t* out_ed, int32_t* out_or,
     int32_t* out_nreads) {
@@ -337,7 +337,7 @@ int64_t collect_positions(
     for (int32_t k = 0; k < w_len[w]; k++) {
       int64_t idx = w_off[w] + k;
       int32_t pos = a_pos[idx] + curpos;
-      if (pos < max_pos - 5) continue;
+      if (use_filter && pos < max_pos - 5) continue;
       if (pos > cur_max_pos) cur_max_pos = pos;
       auto& lst = current[a_rid[idx]];
       bool found = false;

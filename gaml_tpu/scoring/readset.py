@@ -480,16 +480,73 @@ class ReadSet:
             memo[ckey] = result
         return result
 
-    def stage_position_windows(self, graph, ctgs_with_st):
+    def _stage_ctg_simple(self, graph, ctg):
+        """AddPositions-style window stream for one contig (one plain
+        window per node, no seqs trick, no filter) — reference
+        graph.cc:600-649.  Memoized like _stage_ctg."""
+        memo = getattr(self, "_stage_memo_simple", None)
+        if memo is None:
+            memo = self._stage_memo_simple = {}
+        if len(memo) > 100_000:
+            memo.clear()
+        ckey = tuple(ctg)
+        hit = memo.get(ckey)
+        if hit is not None:
+            return hit
+        subpaths: Set[Subpath] = set()
+        self.get_subpaths_from_path(ctg, graph, subpaths)
+        if subpaths:
+            self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
+        w_off: List[int] = []
+        w_len: List[int] = []
+        w_curpos: List[int] = []
+        w_group: List[int] = []
+        cols: List = []
+        total = 0
+        cur_pos = 0
+        all_cached = True
+        for i in range(len(ctg)):
+            cur_seq, _ = self._window_at(ctg, i, graph, stop_at_gap=False)
+            key = tuple(cur_seq)
+            if key not in self.aligment_cache:
+                all_cached = False
+            ac = self.get_alignment_for_subpath(key)
+            w_off.append(total)
+            w_len.append(len(ac))
+            w_curpos.append(cur_pos)
+            w_group.append(i)
+            cols.append(ac)
+            total += len(ac)
+            cur_pos += graph.node_len(ctg[i])
+        if cols:
+            flat = (np.concatenate([c.position for c in cols]),
+                    np.concatenate([c.edit_dist for c in cols]),
+                    np.concatenate([c.read_id for c in cols]),
+                    np.concatenate([c.orientation for c in cols]))
+        else:
+            z = np.zeros(0, np.int32)
+            flat = (z, z, z, z)
+        meta = (np.array(w_off, dtype=np.int64),
+                np.array(w_len, dtype=np.int32),
+                np.array(w_curpos, dtype=np.int32),
+                np.array(w_group, dtype=np.int32))
+        result = (meta, flat)
+        if all_cached:
+            memo[ckey] = result
+        return result
+
+    def stage_position_windows(self, graph, ctgs_with_st, simple: bool = False):
         """Native fast path staging: the exact window stream of
-        get_positions_only_path over a walk's contigs (with their scaffold
-        offsets): (meta arrays, flat alignment arrays) for the C++
+        get_positions_only_path (simple=False) or AddPositions
+        (simple=True) over a walk's contigs (with their scaffold offsets):
+        (meta arrays, flat alignment arrays) for the C++
         collect_positions kernel.  Runs the same cache precompute."""
         metas = []
         flats = []
         group_base = 0
+        stage = self._stage_ctg_simple if simple else self._stage_ctg
         for ci, (ctg, st) in enumerate(ctgs_with_st):
-            (w_off, w_len, w_curpos, w_group), flat = self._stage_ctg(graph, ctg)
+            (w_off, w_len, w_curpos, w_group), flat = stage(graph, ctg)
             metas.append((w_off, w_len, w_curpos + np.int32(st),
                           w_group + np.int32(group_base),
                           np.full(len(w_off), ci, dtype=np.int32)))

@@ -29,11 +29,55 @@ def calc_score_for_paths_single(graph, paths: Sequence[Sequence[int]],
                                 min_prob_per_base: float = -0.7,
                                 min_prob_start: float = -10.0):
     """Returns (score, zero_reads, total_len)."""
+    from ..native import get_lib
+
     total_len1 = 0
-    read_set.clear_positions()
     st = 0
     events: List[Tuple[int, int]] = []
 
+    if get_lib() is not None:
+        # native path: AddPositions-semantics window collection in C++,
+        # probabilities accumulated per read in entry order (bit-identical
+        # to the reference's sequential +=)
+        from ..core.paths import path_len as _plen
+        from ..native import collect_positions
+
+        ctgs_with_st = []
+        for path in paths:
+            ctgs, gaps = split_at_gaps(path)
+            events.append((st + total_len1, 1))
+            for i, ctg in enumerate(ctgs):
+                if i > 0:
+                    total_len1 += gaps[i - 1]
+                    events.append((st + total_len1, 1))
+                ctgs_with_st.append((ctg, st + total_len1))
+                total_len1 += _plen(graph, ctg)
+            st += 1000000
+        rids_g, starts_g, cnts_g, pos_g, ed_g, or_g = collect_positions(
+            *read_set.stage_position_windows(graph, ctgs_with_st,
+                                             simple=True),
+            use_filter=False)
+        total_entries = int(cnts_g.sum()) if len(cnts_g) else 0
+        read_probs = np.zeros(read_set.get_number_of_reads(),
+                              dtype=np.float64)
+        if total_entries:
+            entry_rid = np.repeat(rids_g, cnts_g)
+            ed_e = ed_g[:total_entries]
+            lens_e = read_set.read_lens_array()[entry_rid]
+            p1 = (read_set.mismatch_probs[ed_e] *
+                  read_set.match_probs[lens_e - ed_e])
+            np.add.at(read_probs, entry_rid, p1)
+        # the reference also emits per-position coverage events here, but
+        # its single-end sweep is dead code (last_event_type never reaches
+        # >= 3, graph.cc:1710-1733) — bad_bases is provably 0
+        bad_bases = 0
+        lens = read_set.read_lens_array()
+        score, zero_reads = get_total_prob(read_probs, total_len1,
+                                           min_prob_per_base,
+                                           min_prob_start, lens)
+        return score - bad_bases * no_cov_penalty, zero_reads, total_len1
+
+    read_set.clear_positions()
     for path in paths:
         ctgs, gaps = split_at_gaps(path)
         events.append((st + total_len1, 1))
