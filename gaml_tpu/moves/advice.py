@@ -40,7 +40,15 @@ def extend_paths_adv_paired(paths: List[Path], gr, threshold: int,
 
     path_v = set(path)
     path_v.update(e ^ 1 for e in path if e >= 0)
-    positions1, _tl = rs1.get_positions(gr, path)
+    grouped = rs1.get_positions_grouped(gr, path)
+    if grouped is not None:
+        rids_g, starts_g, _cnts, _pos, _ed, or_g, _tl = grouped
+        fwd_first_rids = [int(r) for r, s in zip(rids_g, starts_g)
+                          if or_g[s] == 0]
+    else:
+        positions1, _tl = rs1.get_positions(gr, path)
+        fwd_first_rids = [i for i in range(rs1.get_number_of_reads())
+                          if positions1[i] and positions1[i][0][1][1] == 0]
 
     only_out = True
     if rng.randint(5) == 0:
@@ -51,11 +59,7 @@ def extend_paths_adv_paired(paths: List[Path], gr, threshold: int,
 
     def collect(allow_gaps_flag):
         cands = []
-        for i in range(rs1.get_number_of_reads()):
-            if not positions1[i]:
-                continue
-            if positions1[i][0][1][1] != 0:  # first hit must be forward
-                continue
+        for i in fwd_first_rids:
             for cand_node in read_poses_1.get(i, ()):
                 if cand_node in path_v and only_out:
                     continue

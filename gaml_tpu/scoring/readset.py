@@ -571,6 +571,34 @@ class ReadSet:
                          for k in range(4))
         return meta_out, flat_out
 
+    def get_positions_grouped(self, graph, path: Sequence[int]):
+        """Native grouped-array variant of get_positions (same windows and
+        dedup, no trailing filter — reference GetPositions semantics,
+        graph.cc:651-728).  Returns (rids, starts, cnts, pos, ed, orient,
+        total_len) or None when the native library is unavailable."""
+        from ..native import get_lib
+
+        if get_lib() is None:
+            return None
+        from ..core.paths import path_len as _plen, split_at_gaps
+        from ..native import collect_positions
+
+        ctgs, gaps = split_at_gaps(list(path))
+        ctgs_with_st = []
+        cur = 0
+        total_len = 0
+        for i, ctg in enumerate(ctgs):
+            if i > 0:
+                cur += gaps[i - 1]
+            ctgs_with_st.append((ctg, cur))
+            ln = _plen(graph, ctg)
+            cur += ln
+            total_len += ln
+        out = collect_positions(
+            *self.stage_position_windows(graph, ctgs_with_st),
+            use_filter=False)
+        return out + (total_len,)
+
     # --------------------------------------------------------------- advice
     def build_advice_index(self, graph, threshold: int) -> None:
         """read -> long nodes it aligns to (reference BuildAdviceIndex,
