@@ -87,6 +87,16 @@ def get_lib():
             [ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
              ctypes.c_double, ctypes.c_double, ctypes.c_double,
              ctypes.c_int32] + [ctypes.c_void_p] * 5
+        lib.fastq_parse.restype = ctypes.c_void_p
+        lib.fastq_parse.argtypes = [ctypes.c_char_p]
+        for nm in ("fastq_num_reads", "fastq_codes_size", "fastq_names_size"):
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.fastq_copy.restype = None
+        lib.fastq_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+        lib.fastq_free.restype = None
+        lib.fastq_free.argtypes = [ctypes.c_void_p]
         for name in ("reach_limit_compute", "reach_big_compute"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_void_p
@@ -175,6 +185,30 @@ def paired_inc_pairs(rids, p1_start, p1_cnt, pos1, ed1, or1,
         _ptr(out_ev_cnt))
     ne = int(out_ev_cnt[0])
     return out_p[:n], out_rid[:n], out_ev_pos[:ne], out_ev_typ[:ne]
+
+
+def read_fastq_arrays(path: str):
+    """Native FASTQ parse: (codes buffer uint8, read_offsets int64,
+    names list[str]).  Returns None when the library is unavailable or the
+    file cannot be read."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.fastq_parse(path.encode())
+    if not h:
+        return None
+    n = lib.fastq_num_reads(h)
+    codes = np.empty(lib.fastq_codes_size(h), dtype=np.uint8)
+    read_off = np.empty(n + 1, dtype=np.int64)
+    names_buf = np.empty(lib.fastq_names_size(h), dtype=np.uint8)
+    name_off = np.empty(n + 1, dtype=np.int64)
+    lib.fastq_copy(h, _ptr(codes), _ptr(read_off), _ptr(names_buf),
+                   _ptr(name_off))
+    lib.fastq_free(h)
+    raw = names_buf.tobytes()
+    names = [raw[name_off[i]:name_off[i + 1]].decode()
+             for i in range(n)]
+    return codes, read_off, names
 
 
 class NativeAlignBundle:

@@ -17,6 +17,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
 #include <deque>
 #include <map>
 #include <queue>
@@ -519,6 +521,74 @@ int64_t paired_inc_pairs(
   *out_ev_cnt = ne;
   return np;
 }
+
+// -------------------------------------------------------------- fastq IO
+// Fast 4-line FASTQ parsing with 2-bit-table encoding (the reference's
+// getline loops, graph.cc:1366-1441, are the setup hot spot in Python).
+struct FastqData {
+  std::vector<uint8_t> codes;       // concatenated encoded reads
+  std::vector<int64_t> read_off;    // n+1 offsets
+  std::vector<char> names;          // concatenated names (no separators)
+  std::vector<int64_t> name_off;    // n+1 offsets
+};
+
+void* fastq_parse(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  FastqData* d = new FastqData();
+  d->read_off.push_back(0);
+  d->name_off.push_back(0);
+  uint8_t lut[256];
+  for (int i = 0; i < 256; i++) lut[i] = 4;
+  lut['G'] = 0;
+  lut['A'] = 1;
+  lut['T'] = 2;
+  lut['C'] = 3;
+  char* line = nullptr;
+  size_t cap = 0;
+  ssize_t len;
+  int phase = 0;
+  while ((len = getline(&line, &cap, f)) >= 0) {
+    while (len > 0 && (line[len - 1] == '\n' || line[len - 1] == '\r')) len--;
+    if (phase == 0) {
+      // name: first whitespace token after '@'
+      ssize_t s = len > 0 ? 1 : 0;
+      ssize_t e = s;
+      while (e < len && line[e] != ' ' && line[e] != '\t') e++;
+      d->names.insert(d->names.end(), line + s, line + e);
+      d->name_off.push_back((int64_t)d->names.size());
+    } else if (phase == 1) {
+      for (ssize_t i = 0; i < len; i++)
+        d->codes.push_back(lut[(uint8_t)line[i]]);
+      d->read_off.push_back((int64_t)d->codes.size());
+    }
+    phase = (phase + 1) & 3;
+  }
+  free(line);
+  fclose(f);
+  return d;
+}
+
+int64_t fastq_num_reads(void* h) {
+  return (int64_t)((FastqData*)h)->read_off.size() - 1;
+}
+int64_t fastq_codes_size(void* h) {
+  return (int64_t)((FastqData*)h)->codes.size();
+}
+int64_t fastq_names_size(void* h) {
+  return (int64_t)((FastqData*)h)->names.size();
+}
+void fastq_copy(void* h, uint8_t* codes, int64_t* read_off, char* names,
+                int64_t* name_off) {
+  FastqData* d = (FastqData*)h;
+  std::memcpy(codes, d->codes.data(), d->codes.size());
+  std::memcpy(read_off, d->read_off.data(),
+              d->read_off.size() * sizeof(int64_t));
+  std::memcpy(names, d->names.data(), d->names.size());
+  std::memcpy(name_off, d->name_off.data(),
+              d->name_off.size() * sizeof(int64_t));
+}
+void fastq_free(void* h) { delete (FastqData*)h; }
 
 // ----------------------------------------------------------- reachability
 struct ReachResult {

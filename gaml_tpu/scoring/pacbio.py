@@ -81,12 +81,21 @@ class PacbioReadSet:
         return self.read_map[name]
 
     def preprocess_reads(self) -> None:
-        """Reference graph.cc:1417-1441."""
+        """Reference graph.cc:1417-1441 (native FASTQ parser when built)."""
         if self.load_success:
             return
-        for name, seq in iter_fastq(self.filename):
+        from ..native import read_fastq_arrays
+
+        res = read_fastq_arrays(self.filename)
+        if res is None:
+            items = ((name, dna.encode_seq(seq))
+                     for name, seq in iter_fastq(self.filename))
+        else:
+            buf, off, names = res
+            items = ((names[i], buf[off[i]:off[i + 1]])
+                     for i in range(len(names)))
+        for name, codes in items:
             rid = self.get_read_id(name)
-            codes = dna.encode_seq(seq)
             self.read_seq[rid] = codes
             self.read_lens[rid] = len(codes)
         self.max_read_len = max(self.read_lens) if self.read_lens else 0

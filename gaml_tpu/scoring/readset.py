@@ -78,13 +78,34 @@ class ReadSet:
             self.read_lens.append(0)
         return self.read_map[name]
 
+    def _load_fastq(self):
+        """(names, codes) via the native parser when built; memoized until
+        the index is ready."""
+        cached = getattr(self, "_fastq_cache", None)
+        if cached is not None:
+            return cached
+        from ..native import read_fastq_arrays
+
+        res = read_fastq_arrays(self.filename)
+        if res is None:
+            names, codes = [], []
+            for name, seq in iter_fastq(self.filename):
+                names.append(name)
+                codes.append(dna.encode_seq(seq))
+        else:
+            buf, off, names = res
+            codes = [buf[off[i]:off[i + 1]] for i in range(len(names))]
+        self._fastq_cache = (names, codes)
+        return self._fastq_cache
+
     def preprocess_reads(self) -> None:
         """Record read names/lengths (reference graph.cc:1386-1415)."""
         if self.load_success:
             return
-        for name, seq in iter_fastq(self.filename):
+        names, codes = self._load_fastq()
+        for name, c in zip(names, codes):
             rid = self.get_read_id(name)
-            self.read_lens[rid] = len(seq)
+            self.read_lens[rid] = len(c)
         self.calc_max_read_len()
         self.load_success = True
 
@@ -101,13 +122,14 @@ class ReadSet:
             from ..index.maxhash import ReadIndexMaxHash
 
             self.index = ReadIndexMaxHash()
+        names, codes_all = self._load_fastq()
         codes_list, rid_list = [], []
-        for name, seq in iter_fastq(self.filename):
+        for name, codes in zip(names, codes_all):
             rid = self.get_read_id(name)
-            codes = dna.encode_seq(seq)
             self.read_seqs[rid] = codes
             codes_list.append(codes)
             rid_list.append(rid)
+        self._fastq_cache = None
         if hasattr(self.index, "add_reads_batch"):
             self.index.add_reads_batch(codes_list, rid_list)
         else:
