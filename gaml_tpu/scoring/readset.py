@@ -562,7 +562,19 @@ class ReadSet:
         get_positions_only_path (simple=False) or AddPositions
         (simple=True) over a walk's contigs (with their scaffold offsets):
         (meta arrays, flat alignment arrays) for the C++
-        collect_positions kernel.  Runs the same cache precompute."""
+        collect_positions kernel.  Runs the same cache precompute.
+
+        Whole-walk streams are memoized (keyed on the contig/offset layout)
+        once every underlying window is cached — an erased walk was always
+        staged before as an added walk, so the per-move rescore of large
+        walks avoids re-concatenating megabase streams."""
+        wkey = (simple, tuple((tuple(c), st) for c, st in ctgs_with_st))
+        wmemo = getattr(self, "_walk_stage_memo", None)
+        if wmemo is None:
+            wmemo = self._walk_stage_memo = {}
+        hit = wmemo.get(wkey)
+        if hit is not None:
+            return hit
         metas = []
         flats = []
         group_base = 0
@@ -591,6 +603,16 @@ class ReadSet:
                     np.concatenate([m[4] for m in metas]))
         flat_out = tuple(np.concatenate([f[k] for f in flats])
                          for k in range(4))
+        # memoize the assembled stream once every contig's windows are
+        # cached (checked against the ctg-level memos, which only admit
+        # fully-cached contigs)
+        ctg_memo = getattr(self,
+                           "_stage_memo_simple" if simple else "_stage_memo",
+                           None) or {}
+        if all(tuple(c) in ctg_memo for c, _ in ctgs_with_st):
+            if len(wmemo) > 512:
+                wmemo.clear()
+            wmemo[wkey] = (meta_out, flat_out)
         return meta_out, flat_out
 
     def get_positions_grouped(self, graph, path: Sequence[int]):
