@@ -75,6 +75,16 @@ class Graph:
     def node_len(self, i: int) -> int:
         return len(self.seqs[i])
 
+    def lens_np(self) -> np.ndarray:
+        """Cached int64 per-node length array (node sequences are
+        immutable, so the cache only invalidates when nodes are added)."""
+        arr = getattr(self, "_lens_np", None)
+        if arr is None or len(arr) != len(self.seqs):
+            arr = np.fromiter((len(s) for s in self.seqs), dtype=np.int64,
+                              count=len(self.seqs))
+            self._lens_np = arr
+        return arr
+
     def add_node_pair(self, fwd_seq: np.ndarray, rev_seq: Optional[np.ndarray] = None) -> int:
         """Append a forward/reverse node pair; returns the forward id."""
         if rev_seq is None:

@@ -50,11 +50,21 @@ def gaussian_pdf(x, mean, std):
     return e / c
 
 
+_INSERT_TABLE_MEMO: dict = {}
+
+
 def insert_prob_table(insert_mean: float, insert_std: float) -> np.ndarray:
     """Precomputed pdf for distances 0 .. mean+5*std (exclusive), as the
-    reference does per scoring call (graph.cc:2050-2053)."""
-    n = int(insert_mean + 5 * insert_std)
-    return gaussian_pdf(np.arange(n), insert_mean, insert_std)
+    reference does per scoring call (graph.cc:2050-2053).  Memoized (the
+    table is immutable and rebuilt every rescore otherwise)."""
+    key = (float(insert_mean), float(insert_std))
+    hit = _INSERT_TABLE_MEMO.get(key)
+    if hit is None:
+        n = int(insert_mean + 5 * insert_std)
+        hit = gaussian_pdf(np.arange(n), insert_mean, insert_std)
+        hit.setflags(write=False)
+        _INSERT_TABLE_MEMO[key] = hit
+    return hit
 
 
 def insert_prob(dist: int, table: np.ndarray, insert_mean: float, insert_std: float) -> float:

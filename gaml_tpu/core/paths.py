@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import numpy as np
+
 Path = List[int]
 
 
@@ -35,8 +37,15 @@ def path_len(graph, path: Sequence[int]) -> int:
 
 
 def total_len(graph, paths: Sequence[Sequence[int]]) -> int:
-    """Reference GetTotalLen (graph.cc:1775-1781)."""
-    return sum(path_len(graph, p) for p in paths)
+    """Reference GetTotalLen (graph.cc:1775-1781).  Vectorized over the
+    flattened walk set (hot: called once per scored state)."""
+    flat = [e for p in paths for e in p]
+    if not flat:
+        return 0
+    a = np.asarray(flat, dtype=np.int64)
+    neg = a < 0
+    vals = graph.lens_np()[np.where(neg, 0, a)]
+    return int(np.where(neg, -a, vals).sum())
 
 
 def split_at_gaps(path: Sequence[int]):

@@ -27,7 +27,8 @@ def build(force: bool = False) -> bool:
     if not force and os.path.exists(_SO) and \
             os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return True
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
+           "-shared", "-fPIC", "-o", _SO, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
@@ -248,13 +249,13 @@ def align_window(bundle: NativeAlignBundle, seq: np.ndarray, offset: int):
         out_rid = np.empty(cap, dtype=np.int32)
         out_or = np.empty(cap, dtype=np.int32)
         n = lib.align_window(
-            _ptr(seq), len(seq), bundle.read_len, offset,
-            _ptr(bundle.fp_sorted), _ptr(bundle.fp_off), _ptr(bundle.fp_rids),
+            seq.ctypes.data, len(seq), bundle.read_len, offset,
+            bundle.fp_sorted.ctypes.data, bundle.fp_off.ctypes.data, bundle.fp_rids.ctypes.data,
             len(bundle.fp_sorted),
-            _ptr(bundle.codes_fwd), _ptr(bundle.codes_rc),
+            bundle.codes_fwd.ctypes.data, bundle.codes_rc.ctypes.data,
             bundle.codes_fwd.shape[1] if bundle.codes_fwd.ndim == 2 else 0,
-            _ptr(bundle.seed_pos), _ptr(bundle.row_of),
-            _ptr(out_pos), _ptr(out_ed), _ptr(out_rid), _ptr(out_or), cap)
+            bundle.seed_pos.ctypes.data, bundle.row_of.ctypes.data,
+            out_pos.ctypes.data, out_ed.ctypes.data, out_rid.ctypes.data, out_or.ctypes.data, cap)
         if n <= cap:
             break
         cap = int(n) + 64
@@ -281,11 +282,11 @@ def collect_positions(meta, flat, use_filter: bool = True):
     out_or = np.empty(cap, dtype=np.int32)
     out_nreads = np.zeros(1, dtype=np.int32)
     lib.collect_positions(
-        n_windows, _ptr(w_off), _ptr(w_len), _ptr(w_curpos), _ptr(w_group),
-        _ptr(w_ctg), _ptr(a_pos), _ptr(a_ed), _ptr(a_rid), _ptr(a_or),
+        n_windows, w_off.ctypes.data, w_len.ctypes.data, w_curpos.ctypes.data, w_group.ctypes.data,
+        w_ctg.ctypes.data, a_pos.ctypes.data, a_ed.ctypes.data, a_rid.ctypes.data, a_or.ctypes.data,
         int(use_filter),
-        _ptr(out_rid), _ptr(out_start), _ptr(out_cnt), _ptr(out_pos),
-        _ptr(out_ed), _ptr(out_or), _ptr(out_nreads))
+        out_rid.ctypes.data, out_start.ctypes.data, out_cnt.ctypes.data, out_pos.ctypes.data,
+        out_ed.ctypes.data, out_or.ctypes.data, out_nreads.ctypes.data)
     nr = int(out_nreads[0])
     return (out_rid[:nr], out_start[:nr], out_cnt[:nr],
             out_pos, out_ed, out_or)
@@ -315,17 +316,17 @@ def paired_inc_pairs2(g1, g2, rlen1_all, rlen2_all, match_pow1,
     out_ev_typ = np.zeros(2 * max(total_pairs, 1), dtype=np.int32)
     out_ev_cnt = np.zeros(1, dtype=np.int64)
     n = lib.paired_inc_pairs2(
-        _ptr(rid1), _ptr(st1), _ptr(cnt1), len(rid1),
-        _ptr(pos1), _ptr(ed1), _ptr(or1),
-        _ptr(rid2), _ptr(st2), _ptr(cnt2), len(rid2),
-        _ptr(pos2), _ptr(ed2), _ptr(or2),
-        _ptr(rlen1_all), _ptr(rlen2_all),
-        _ptr(match_pow1), _ptr(mismatch_pow1),
-        _ptr(match_pow2), _ptr(mismatch_pow2),
-        _ptr(ins_table), len(ins_table), ins_mean, ins_std,
+        rid1.ctypes.data, st1.ctypes.data, cnt1.ctypes.data, len(rid1),
+        pos1.ctypes.data, ed1.ctypes.data, or1.ctypes.data,
+        rid2.ctypes.data, st2.ctypes.data, cnt2.ctypes.data, len(rid2),
+        pos2.ctypes.data, ed2.ctypes.data, or2.ctypes.data,
+        rlen1_all.ctypes.data, rlen2_all.ctypes.data,
+        match_pow1.ctypes.data, mismatch_pow1.ctypes.data,
+        match_pow2.ctypes.data, mismatch_pow2.ctypes.data,
+        ins_table.ctypes.data, len(ins_table), ins_mean, ins_std,
         min_prob_start, min_prob_per_base, int(use_all_to_cov),
-        _ptr(out_p), _ptr(out_rid), _ptr(out_ev_pos), _ptr(out_ev_typ),
-        _ptr(out_ev_cnt))
+        out_p.ctypes.data, out_rid.ctypes.data, out_ev_pos.ctypes.data, out_ev_typ.ctypes.data,
+        out_ev_cnt.ctypes.data)
     ne = int(out_ev_cnt[0])
     return out_p[:n], out_rid[:n], out_ev_pos[:ne], out_ev_typ[:ne]
 

@@ -14,6 +14,7 @@
 // tests/test_native.py).
 
 #define _USE_MATH_DEFINES
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -75,6 +76,18 @@ int64_t maxhash_window_query(const uint8_t* seq, int64_t n, int32_t read_len,
 // visited set and its search-order artifacts.  Returns via out arrays:
 // errs = -1 on failure; begin as in the reference (may be -1 for
 // genome-start seeds).
+struct QItem {
+  int64_t g;
+  int32_t r;
+};
+
+// The reference's single deque holds a LIFO run of cost-c items at the
+// front (push_front on match) followed by a FIFO run of cost-(c+1) items
+// at the back (push_back on error).  That is exactly a per-level stack
+// whose bottom is the previous level's FIFO overflow reversed — so we run
+// it as two preallocated vectors (cur = stack popped from the back, nxt =
+// FIFO accumulated in order, promoted reversed), which reproduces the
+// reference pop order bit-for-bit without deque allocation churn.
 static void process_hit_one(const uint8_t* genome, int64_t glen,
                             const uint8_t* read, int32_t rlen, int32_t g0,
                             int32_t r0, int32_t* out_errs,
@@ -83,7 +96,6 @@ static void process_hit_one(const uint8_t* genome, int64_t glen,
                             int32_t vdim) {
   const int K = 15;
   const int ERROR_LIMIT = 3;
-  stamp++;
   auto vis = [&](int32_t r, int64_t g) -> int32_t& {
     int64_t gp = g - g0 + r0 + 20;
     return visited[(int64_t)(r + 1) * vdim + gp];
@@ -94,42 +106,68 @@ static void process_hit_one(const uint8_t* genome, int64_t glen,
   *out_errs = -1;
   *out_begin = -1;
 
-  std::deque<std::pair<int, std::pair<int64_t, int32_t>>> fr;
-  fr.push_back({0, {g0 + K, r0 + K}});
   int forward_errs = -1;
-  while (!fr.empty()) {
-    auto x = fr.front();
-    fr.pop_front();
-    int cost = x.first;
-    int64_t g = x.second.first;
-    int32_t r = x.second.second;
-    if (cost > ERROR_LIMIT) break;
-    if (r == rlen) {
-      forward_errs = cost;
-      break;
+  // zero-error fast path: a cost-0 search path can only be the clean
+  // match diagonal (match edges are the sole cost-0 transitions and the
+  // visited set cannot block a single chain), so scan it directly.
+  {
+    int64_t g = g0 + K;
+    int32_t r = r0 + K;
+    while (r < rlen && g < glen && genome[g] == read[r]) {
+      g++;
+      r++;
     }
-    if (gch(g) == read[r]) {
-      if (g + 1 < glen || r + 1 == rlen) {
-        if (vis(r + 1, g + 1) != stamp) {
-          vis(r + 1, g + 1) = stamp;
-          fr.push_front({cost, {g + 1, r + 1}});
+    if (r == rlen) forward_errs = 0;
+  }
+
+  static thread_local std::vector<QItem> cur, nxt;
+  if (forward_errs == -1) {
+    stamp++;
+    cur.clear();
+    nxt.clear();
+    cur.push_back({g0 + K, r0 + K});
+    int cost = 0;
+    bool done = false;
+    while (!done) {
+      while (!cur.empty()) {
+        QItem x = cur.back();
+        cur.pop_back();
+        int64_t g = x.g;
+        int32_t r = x.r;
+        if (r == rlen) {
+          forward_errs = cost;
+          done = true;
+          break;
+        }
+        if (gch(g) == read[r]) {
+          if (g + 1 < glen || r + 1 == rlen) {
+            if (vis(r + 1, g + 1) != stamp) {
+              vis(r + 1, g + 1) = stamp;
+              cur.push_back({g + 1, r + 1});
+            }
+          }
+        } else {
+          if (g + 1 < glen) {
+            if (vis(r + 1, g + 1) != stamp) {
+              vis(r + 1, g + 1) = stamp;
+              nxt.push_back({g + 1, r + 1});
+            }
+            if (vis(r, g + 1) != stamp) {
+              vis(r, g + 1) = stamp;
+              nxt.push_back({g + 1, r});
+            }
+          }
+          if (vis(r + 1, g) != stamp) {
+            vis(r + 1, g) = stamp;
+            nxt.push_back({g, r + 1});
+          }
         }
       }
-    } else {
-      if (g + 1 < glen) {
-        if (vis(r + 1, g + 1) != stamp) {
-          vis(r + 1, g + 1) = stamp;
-          fr.push_back({cost + 1, {g + 1, r + 1}});
-        }
-        if (vis(r, g + 1) != stamp) {
-          vis(r, g + 1) = stamp;
-          fr.push_back({cost + 1, {g + 1, r}});
-        }
-      }
-      if (vis(r + 1, g) != stamp) {
-        vis(r + 1, g) = stamp;
-        fr.push_back({cost + 1, {g, r + 1}});
-      }
+      if (done) break;
+      cost++;
+      if (cost > ERROR_LIMIT || nxt.empty()) break;
+      cur.assign(nxt.rbegin(), nxt.rend());
+      nxt.clear();
     }
   }
   if (forward_errs == -1) return;
@@ -139,43 +177,67 @@ static void process_hit_one(const uint8_t* genome, int64_t glen,
   if (g0 == 0) {
     if (r0 < 6) backward_errs = r0;
   } else {
-    fr.clear();
-    stamp++;
-    fr.push_back({0, {g0 - 1, r0 - 1}});
-    while (!fr.empty()) {
-      auto x = fr.front();
-      fr.pop_front();
-      int cost = x.first;
-      int64_t g = x.second.first;
-      int32_t r = x.second.second;
-      if (cost > ERROR_LIMIT) break;
-      if (r == -1) {
-        backward_errs = cost;
-        begin_pos = g + 1;
-        break;
+    // zero-error backward diagonal fast path (same argument as forward)
+    {
+      int64_t g = g0 - 1;
+      int32_t r = r0 - 1;
+      while (r > -1 && g >= 0 && genome[g] == read[r]) {
+        g--;
+        r--;
       }
-      if (gch(g) == read[r]) {
-        if (g - 1 >= 0 || r - 1 == -1) {
-          if (vis(r - 1, g - 1) != stamp) {
-            vis(r - 1, g - 1) = stamp;
-            fr.push_front({cost, {g - 1, r - 1}});
+      if (r == -1) {
+        backward_errs = 0;
+        begin_pos = g + 1;
+      }
+    }
+    if (backward_errs == -1) {
+      stamp++;
+      cur.clear();
+      nxt.clear();
+      cur.push_back({g0 - 1, r0 - 1});
+      int cost = 0;
+      bool done = false;
+      while (!done) {
+        while (!cur.empty()) {
+          QItem x = cur.back();
+          cur.pop_back();
+          int64_t g = x.g;
+          int32_t r = x.r;
+          if (r == -1) {
+            backward_errs = cost;
+            begin_pos = g + 1;
+            done = true;
+            break;
+          }
+          if (gch(g) == read[r]) {
+            if (g - 1 >= 0 || r - 1 == -1) {
+              if (vis(r - 1, g - 1) != stamp) {
+                vis(r - 1, g - 1) = stamp;
+                cur.push_back({g - 1, r - 1});
+              }
+            }
+          } else {
+            if (g - 1 >= 0) {
+              if (vis(r - 1, g - 1) != stamp) {
+                vis(r - 1, g - 1) = stamp;
+                nxt.push_back({g - 1, r - 1});
+              }
+              if (vis(r, g - 1) != stamp) {
+                vis(r, g - 1) = stamp;
+                nxt.push_back({g - 1, r});
+              }
+            }
+            if (vis(r - 1, g) != stamp) {
+              vis(r - 1, g) = stamp;
+              nxt.push_back({g, r - 1});
+            }
           }
         }
-      } else {
-        if (g - 1 >= 0) {
-          if (vis(r - 1, g - 1) != stamp) {
-            vis(r - 1, g - 1) = stamp;
-            fr.push_back({cost + 1, {g - 1, r - 1}});
-          }
-          if (vis(r, g - 1) != stamp) {
-            vis(r, g - 1) = stamp;
-            fr.push_back({cost + 1, {g - 1, r}});
-          }
-        }
-        if (vis(r - 1, g) != stamp) {
-          vis(r - 1, g) = stamp;
-          fr.push_back({cost + 1, {g, r - 1}});
-        }
+        if (done) break;
+        cost++;
+        if (cost > ERROR_LIMIT || nxt.empty()) break;
+        cur.assign(nxt.rbegin(), nxt.rend());
+        nxt.clear();
       }
     }
   }
@@ -223,12 +285,19 @@ int64_t align_window(
   const int K = 15;
   if (glen < read_len || read_len == 0) return 0;
   // both strands' collapsed window fingerprints
-  std::vector<int32_t> pos_buf(glen);
-  std::vector<uint64_t> hash_buf(glen);
+  static thread_local std::vector<int32_t> pos_buf;
+  static thread_local std::vector<uint64_t> hash_buf;
+  if ((int64_t)pos_buf.size() < glen) {
+    pos_buf.resize(glen);
+    hash_buf.resize(glen);
+  }
   int64_t n_fwd = maxhash_window_query(seq, glen, read_len, hash_buf.data(),
                                        pos_buf.data(), glen);
-  // candidate map: rid -> signed seed positions, fwd first then rc
-  std::map<int32_t, std::vector<int64_t>> cands;
+  // candidates as (rid, seq#, signed seed pos); stable-sorted by rid this
+  // reproduces the reference rid-ascending map iteration with per-rid
+  // insertion order (fwd hits first, then rc)
+  static thread_local std::vector<std::pair<int32_t, int64_t>> cands;
+  cands.clear();
   auto lookup = [&](uint64_t mh, int64_t signed_pos) {
     // binary search in fp_sorted
     int64_t lo = 0, hi = n_fp;
@@ -241,12 +310,13 @@ int64_t align_window(
     }
     if (lo < n_fp && fp_sorted[lo] == mh) {
       for (int64_t k = fp_off[lo]; k < fp_off[lo + 1]; k++) {
-        cands[fp_rids[k]].push_back(signed_pos);
+        cands.push_back({fp_rids[k], signed_pos});
       }
     }
   };
   for (int64_t i = 0; i < n_fwd; i++) lookup(hash_buf[i], pos_buf[i]);
-  std::vector<uint8_t> rcseq(glen);
+  static thread_local std::vector<uint8_t> rcseq;
+  if ((int64_t)rcseq.size() < glen) rcseq.resize(glen);
   for (int64_t i = 0; i < glen; i++) {
     uint8_t c = seq[glen - 1 - i];
     rcseq[i] = c < 4 ? (uint8_t)(3 - c) : c;
@@ -254,46 +324,67 @@ int64_t align_window(
   int64_t n_rc = maxhash_window_query(rcseq.data(), glen, read_len,
                                       hash_buf.data(), pos_buf.data(), glen);
   for (int64_t i = 0; i < n_rc; i++) lookup(hash_buf[i], -(int64_t)pos_buf[i]);
+  std::stable_sort(cands.begin(), cands.end(),
+                   [](const std::pair<int32_t, int64_t>& a,
+                      const std::pair<int32_t, int64_t>& b) {
+                     return a.first < b.first;
+                   });
 
   // extension per candidate, dedup first-wins by (position, rid)
   int32_t max_rlen = read_len;
   int32_t vdim = max_rlen + 47;
-  std::vector<int32_t> visited((int64_t)(max_rlen + 47) * vdim, 0);
-  int32_t stamp = 0;
-  std::map<std::pair<int32_t, int32_t>, WinAl> current;
-  for (auto& kv : cands) {
-    int32_t rid = kv.first;
-    int32_t row = row_of[rid];
-    for (int64_t e2 : kv.second) {
-      int64_t g0;
-      const uint8_t* read;
-      int32_t orient, r0;
-      if (e2 > 0) {
-        g0 = e2 - K + 1;
-        read = codes_fwd + (int64_t)row * stride;
-        orient = 0;
-        r0 = seed_pos[2 * row];
-      } else {
-        g0 = glen + e2 - 1;
-        read = codes_rc + (int64_t)row * stride;
-        orient = 1;
-        r0 = seed_pos[2 * row + 1];
-      }
-      int32_t errs, begin;
-      process_hit_one(seq, glen, read, read_len, (int32_t)g0, r0, &errs,
-                      &begin, visited, stamp, vdim);
-      if (errs < 0) continue;
-      std::pair<int32_t, int32_t> key(begin + 1 + offset, rid);
-      current.emplace(key, WinAl{errs, orient});  // first insert wins
-    }
+  static thread_local std::vector<int32_t> visited;
+  static thread_local int32_t stamp = 0;
+  if ((int64_t)visited.size() < (int64_t)(max_rlen + 47) * vdim ||
+      stamp > 2000000000) {
+    visited.assign((int64_t)(max_rlen + 47) * vdim, 0);
+    stamp = 0;
   }
+  struct Found {
+    int32_t pos, rid, ed, orient;
+  };
+  static thread_local std::vector<Found> found;
+  found.clear();
+  for (size_t ci = 0; ci < cands.size(); ci++) {
+    int32_t rid = cands[ci].first;
+    int64_t e2 = cands[ci].second;
+    int32_t row = row_of[rid];
+    int64_t g0;
+    const uint8_t* read;
+    int32_t orient, r0;
+    if (e2 > 0) {
+      g0 = e2 - K + 1;
+      read = codes_fwd + (int64_t)row * stride;
+      orient = 0;
+      r0 = seed_pos[2 * row];
+    } else {
+      g0 = glen + e2 - 1;
+      read = codes_rc + (int64_t)row * stride;
+      orient = 1;
+      r0 = seed_pos[2 * row + 1];
+    }
+    int32_t errs, begin;
+    process_hit_one(seq, glen, read, read_len, (int32_t)g0, r0, &errs,
+                    &begin, visited, stamp, vdim);
+    if (errs < 0) continue;
+    found.push_back({begin + 1 + offset, rid, errs, orient});
+  }
+  // stable sort by (pos, rid): equal keys keep emission order, so the
+  // first in each run is the reference's first-wins map emplace
+  std::stable_sort(found.begin(), found.end(),
+                   [](const Found& a, const Found& b) {
+                     return a.pos != b.pos ? a.pos < b.pos : a.rid < b.rid;
+                   });
   int64_t n = 0;
-  for (auto& kv : current) {
+  for (size_t i = 0; i < found.size(); i++) {
+    if (i > 0 && found[i].pos == found[i - 1].pos &&
+        found[i].rid == found[i - 1].rid)
+      continue;  // first-wins dedup
     if (n < cap) {
-      out_pos[n] = kv.first.first;
-      out_rid[n] = kv.first.second;
-      out_ed[n] = kv.second.ed;
-      out_or[n] = kv.second.orient;
+      out_pos[n] = found[i].pos;
+      out_rid[n] = found[i].rid;
+      out_ed[n] = found[i].ed;
+      out_or[n] = found[i].orient;
     }
     n++;
   }

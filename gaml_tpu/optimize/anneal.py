@@ -34,17 +34,22 @@ def _clean_lone_duplicates(paths: List[Path], local_p: Optional[int] = None):
     the possibly-adjusted local_p."""
     while True:
         clean = -1
-        locs: Dict[int, List[int]] = {}
-        for i, p in enumerate(paths):
+        # entry e lands in locs[e] and locs[e^1]; a lone walk [x] is
+        # dropped iff locs[x] holds another walk, i.e. some OTHER entry
+        # e' has e' in {x, x^1}.  A lone walk contributes exactly one
+        # such entry itself, so count canonical pairs and test > 1.
+        cnt: Dict[int, int] = {}
+        for p in paths:
             for e in p:
-                locs.setdefault(e, []).append(i)
-                locs.setdefault(e ^ 1, []).append(i)
+                k = e ^ (e & 1) if e >= 0 else min(e, e ^ 1)
+                cnt[k] = cnt.get(k, 0) + 1
         for i, p in enumerate(paths):
             if len(p) > 1:
                 continue
-            for j in locs.get(p[0], ()):
-                if j != i:
-                    clean = i
+            x = p[0]
+            k = x ^ (x & 1) if x >= 0 else min(x, x ^ 1)
+            if cnt[k] > 1:
+                clean = i
         if clean == -1:
             break
         if local_p is not None and clean < local_p:

@@ -230,8 +230,7 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
             *read_set2.stage_position_windows(graph, ctgs_with_st))
         p_arr, rid_arr, ev_pos, ev_typ = paired_inc_pairs2(
             g1, g2,
-            np.ascontiguousarray(read_set1.read_lens_array().astype(np.int32)),
-            np.ascontiguousarray(read_set2.read_lens_array().astype(np.int32)),
+            read_set1.read_lens_i32(), read_set2.read_lens_i32(),
             np.ascontiguousarray(read_set1.match_probs),
             np.ascontiguousarray(read_set1.mismatch_probs),
             np.ascontiguousarray(read_set2.match_probs),

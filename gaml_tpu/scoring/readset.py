@@ -203,6 +203,15 @@ class ReadSet:
             self._read_lens_np = arr
         return arr
 
+    def read_lens_i32(self) -> np.ndarray:
+        """Cached contiguous int32 read lengths (native-kernel argument)."""
+        arr = getattr(self, "_read_lens_i32", None)
+        if arr is None or len(arr) != self.reads_num:
+            arr = np.ascontiguousarray(self.read_lens_array(),
+                                       dtype=np.int32)
+            self._read_lens_i32 = arr
+        return arr
+
     # ---------------------------------------------------------------- caches
     def save_alignments(self, path: Optional[str] = None) -> None:
         """Persist the alignment cache.  (The reference's short-read save is

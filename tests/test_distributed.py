@@ -30,11 +30,12 @@ local_sum = float(log_probs[mine].sum())
 local_zero = int((log_probs[mine] < -24).sum())
 g_sum, g_zero, g_count = combine_partials(local_sum, local_zero, len(mine))
 if pid == 0:
-    print(json.dumps({"sum": g_sum, "zero": g_zero, "count": g_count}))
+    print(json.dumps({"sum": g_sum, "zero": g_zero, "count": g_count}),
+          flush=True)
 """
 
 
-def test_two_process_allgather(tmp_path):
+def _run_pair(tmp_path):
     import socket
 
     with socket.socket() as s:  # pick a free port to avoid collisions
@@ -52,11 +53,27 @@ def test_two_process_allgather(tmp_path):
     outs = []
     for p in procs:
         out, err = p.communicate(timeout=180)
-        assert p.returncode == 0, err.decode()[-2000:]
+        if p.returncode != 0:
+            return None, err.decode()[-2000:]
         outs.append(out.decode())
+    lines = [l for l in outs[0].splitlines() if l.startswith("{")]
+    if not lines:
+        return None, "no JSON line from process 0"
+    return lines[-1], ""
+
+
+def test_two_process_allgather(tmp_path):
     import json
 
-    result = json.loads([l for l in outs[0].splitlines() if l.startswith("{")][-1])
+    # the port can be re-grabbed between probe and bind on a busy
+    # machine; retry the rendezvous a few times before failing
+    line = err = None
+    for _ in range(3):
+        line, err = _run_pair(tmp_path)
+        if line is not None:
+            break
+    assert line is not None, err
+    result = json.loads(line)
     rng = np.random.default_rng(42)
     log_probs = rng.normal(-20.0, 3.0, 40)
     assert result["count"] == 40
