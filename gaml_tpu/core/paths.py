@@ -29,7 +29,12 @@ def reverse_path(path: List[int]) -> None:
 
 def path_len(graph, path: Sequence[int]) -> int:
     """Total spelled length including gaps (reference GetPathLen,
-    graph.cc:1766-1773)."""
+    graph.cc:1766-1773).  Vectorized for long walks."""
+    if len(path) > 64:
+        a = np.asarray(path, dtype=np.int64)
+        neg = a < 0
+        return int(np.where(neg, -a,
+                            graph.lens_np()[np.where(neg, 0, a)]).sum())
     total = 0
     for e in path:
         total += -e if e < 0 else graph.node_len(e)

@@ -410,7 +410,38 @@ int64_t collect_positions(
     int32_t* out_rid, int64_t* out_start, int32_t* out_cnt,
     int32_t* out_pos, int32_t* out_ed, int32_t* out_or,
     int32_t* out_nreads) {
-  std::map<int32_t, std::vector<PosEntry>> current;
+  if (n_windows == 0) {
+    *out_nreads = 0;
+    return 0;
+  }
+  // per-rid insertion-ordered lists as a pooled linked list over
+  // stamp-validated head/tail arrays (no per-call map/vector churn);
+  // output is grouped by ascending rid like the old std::map walk
+  int64_t flat_n = w_off[n_windows - 1] + w_len[n_windows - 1];
+  int32_t max_rid = 0;
+  for (int64_t i = 0; i < flat_n; i++)
+    if (a_rid[i] > max_rid) max_rid = a_rid[i];
+  static thread_local std::vector<int32_t> head, tail_, rstamp;
+  static thread_local int32_t stamp = 0;
+  if ((int64_t)head.size() < (int64_t)max_rid + 1) {
+    head.resize(max_rid + 1);
+    tail_.resize(max_rid + 1);
+    rstamp.assign(max_rid + 1, 0);
+    stamp = 0;
+  }
+  stamp++;
+  if (stamp == 0x7fffffff) {
+    std::fill(rstamp.begin(), rstamp.end(), 0);
+    stamp = 1;
+  }
+  struct PE {
+    int32_t pos, ed, orient, next;
+  };
+  static thread_local std::vector<PE> pool;
+  static thread_local std::vector<int32_t> rids_seen;
+  pool.clear();
+  rids_seen.clear();
+
   int32_t max_pos = 0;
   int32_t cur_max_pos = 0;
   int32_t last_group = -1;
@@ -432,31 +463,47 @@ int64_t collect_positions(
       int32_t pos = a_pos[idx] + curpos;
       if (use_filter && pos < max_pos - 5) continue;
       if (pos > cur_max_pos) cur_max_pos = pos;
-      auto& lst = current[a_rid[idx]];
+      int32_t rid = a_rid[idx];
+      if (rstamp[rid] != stamp) {
+        rstamp[rid] = stamp;
+        head[rid] = tail_[rid] = -1;
+        rids_seen.push_back(rid);
+      }
       bool found = false;
-      for (auto& e : lst) {
-        if (e.pos == pos) {
-          e.ed = a_ed[idx];
-          e.orient = a_or[idx];
+      for (int32_t it = head[rid]; it != -1; it = pool[it].next) {
+        if (pool[it].pos == pos) {
+          pool[it].ed = a_ed[idx];
+          pool[it].orient = a_or[idx];
           found = true;
           break;
         }
       }
-      if (!found) lst.push_back({pos, a_ed[idx], a_or[idx]});
+      if (!found) {
+        pool.push_back({pos, a_ed[idx], a_or[idx], -1});
+        int32_t ni = (int32_t)pool.size() - 1;
+        if (tail_[rid] == -1)
+          head[rid] = ni;
+        else
+          pool[tail_[rid]].next = ni;
+        tail_[rid] = ni;
+      }
     }
   }
+  std::sort(rids_seen.begin(), rids_seen.end());
   int32_t nr = 0;
   int64_t total = 0;
-  for (auto& kv : current) {  // std::map: ascending rid
-    out_rid[nr] = kv.first;
+  for (int32_t rid : rids_seen) {
+    out_rid[nr] = rid;
     out_start[nr] = total;
-    out_cnt[nr] = (int32_t)kv.second.size();
-    for (auto& e : kv.second) {
-      out_pos[total] = e.pos;
-      out_ed[total] = e.ed;
-      out_or[total] = e.orient;
+    int32_t cnt = 0;
+    for (int32_t it = head[rid]; it != -1; it = pool[it].next) {
+      out_pos[total] = pool[it].pos;
+      out_ed[total] = pool[it].ed;
+      out_or[total] = pool[it].orient;
       total++;
+      cnt++;
     }
+    out_cnt[nr] = cnt;
     nr++;
   }
   *out_nreads = nr;
