@@ -27,13 +27,18 @@ def build(force: bool = False) -> bool:
     if not force and os.path.exists(_SO) and \
             os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return True
-    cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
-           "-shared", "-fPIC", "-o", _SO, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-fopenmp",
+           "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, OSError):
-        return False
+        try:  # toolchains without OpenMP: serial batch loop
+            subprocess.run([c for c in cmd if c != "-fopenmp"],
+                           check=True, capture_output=True)
+            return True
+        except (subprocess.CalledProcessError, OSError):
+            return False
 
 
 def get_lib():
@@ -46,6 +51,10 @@ def get_lib():
             return None
         if not build():
             return None
+        # OpenMP workers must sleep between batch calls: spin-waiting
+        # steals cores from the Python thread between native regions
+        os.environ.setdefault("OMP_WAIT_POLICY", "PASSIVE")
+        os.environ.setdefault("GOMP_SPINCOUNT", "0")
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -76,6 +85,20 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.align_windows_batch.restype = None
+        lib.align_windows_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.coverage_sweep.restype = ctypes.c_int64
+        lib.coverage_sweep.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double]
         lib.collect_positions.restype = ctypes.c_int64
         lib.collect_positions.argtypes = [ctypes.c_int32] + \
             [ctypes.c_void_p] * 9 + [ctypes.c_int32] + \
@@ -261,6 +284,65 @@ def align_window(bundle: NativeAlignBundle, seq: np.ndarray, offset: int):
         cap = int(n) + 64
     return (out_pos[:n].copy(), out_ed[:n].copy(), out_rid[:n].copy(),
             out_or[:n].copy())
+
+
+def align_windows_batch(bundle: NativeAlignBundle, seqs: List[np.ndarray],
+                        offsets: List[int]):
+    """Align many windows in one native call (OpenMP-parallel across
+    windows; bit-identical to serial align_window per window).  Returns a
+    list of (pos, ed, rid, orient) tuples parallel to ``seqs``."""
+    lib = get_lib()
+    assert lib is not None
+    n_win = len(seqs)
+    if n_win == 0:
+        return []
+    seq_buf = np.concatenate([np.ascontiguousarray(s, dtype=np.uint8)
+                              for s in seqs])
+    seq_len = np.array([len(s) for s in seqs], dtype=np.int64)
+    seq_off = np.zeros(n_win, dtype=np.int64)
+    np.cumsum(seq_len[:-1], out=seq_off[1:])
+    off32 = np.asarray(offsets, dtype=np.int32)
+    caps = 4 * seq_len + 1024
+    out_off = np.zeros(n_win + 1, dtype=np.int64)
+    np.cumsum(caps, out=out_off[1:])
+    total = int(out_off[-1])
+    out_pos = np.empty(total, dtype=np.int32)
+    out_ed = np.empty(total, dtype=np.int32)
+    out_rid = np.empty(total, dtype=np.int32)
+    out_or = np.empty(total, dtype=np.int32)
+    out_ns = np.zeros(n_win, dtype=np.int64)
+    lib.align_windows_batch(
+        seq_buf.ctypes.data, seq_off.ctypes.data, seq_len.ctypes.data,
+        off32.ctypes.data, n_win, bundle.read_len,
+        bundle.fp_sorted.ctypes.data, bundle.fp_off.ctypes.data,
+        bundle.fp_rids.ctypes.data, len(bundle.fp_sorted),
+        bundle.codes_fwd.ctypes.data, bundle.codes_rc.ctypes.data,
+        bundle.codes_fwd.shape[1] if bundle.codes_fwd.ndim == 2 else 0,
+        bundle.seed_pos.ctypes.data, bundle.row_of.ctypes.data,
+        out_off.ctypes.data, out_pos.ctypes.data, out_ed.ctypes.data,
+        out_rid.ctypes.data, out_or.ctypes.data, out_ns.ctypes.data)
+    results = []
+    for i in range(n_win):
+        n = int(out_ns[i])
+        if n > int(caps[i]):  # overflow: redo this window alone
+            results.append(align_window(bundle, seqs[i], int(offsets[i])))
+            continue
+        a, b = int(out_off[i]), int(out_off[i]) + n
+        results.append((out_pos[a:b].copy(), out_ed[a:b].copy(),
+                        out_rid[a:b].copy(), out_or[a:b].copy()))
+    return results
+
+
+def coverage_sweep(ev_pos: np.ndarray, ev_typ: np.ndarray,
+                   exp_cov_move: float, span_limit: float) -> int:
+    """Native event sort + coverage-gap sweep."""
+    lib = get_lib()
+    assert lib is not None
+    ev_pos = np.ascontiguousarray(ev_pos, dtype=np.int32)
+    ev_typ = np.ascontiguousarray(ev_typ, dtype=np.int32)
+    return int(lib.coverage_sweep(ev_pos.ctypes.data, ev_typ.ctypes.data,
+                                  len(ev_pos), float(exp_cov_move),
+                                  float(span_limit)))
 
 
 def collect_positions(meta, flat, use_filter: bool = True):

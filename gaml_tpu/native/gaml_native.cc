@@ -273,7 +273,7 @@ struct WinAl {
   int32_t ed, orient;
 };
 
-int64_t align_window(
+static int64_t align_window_impl(
     const uint8_t* seq, int64_t glen, int32_t read_len, int32_t offset,
     const uint64_t* fp_sorted, const int64_t* fp_off, const int32_t* fp_rids,
     int64_t n_fp,
@@ -389,6 +389,73 @@ int64_t align_window(
     n++;
   }
   return n;  // may exceed cap: caller retries with a larger buffer
+}
+
+int64_t align_window(
+    const uint8_t* seq, int64_t glen, int32_t read_len, int32_t offset,
+    const uint64_t* fp_sorted, const int64_t* fp_off, const int32_t* fp_rids,
+    int64_t n_fp,
+    const uint8_t* codes_fwd, const uint8_t* codes_rc, int64_t stride,
+    const int32_t* seed_pos, const int32_t* row_of,
+    int32_t* out_pos, int32_t* out_ed, int32_t* out_rid, int32_t* out_or,
+    int64_t cap) {
+  return align_window_impl(seq, glen, read_len, offset, fp_sorted, fp_off,
+                           fp_rids, n_fp, codes_fwd, codes_rc, stride,
+                           seed_pos, row_of, out_pos, out_ed, out_rid,
+                           out_or, cap);
+}
+
+// Many windows in one call, parallel across OS threads (windows are
+// independent; every output slice is private, so results are
+// bit-identical to the serial loop).  out_off gives each window's slice
+// [out_off[i], out_off[i+1]); out_ns[i] may exceed the slice (caller
+// retries that window singly with a bigger buffer).
+void align_windows_batch(
+    const uint8_t* seq_buf, const int64_t* seq_off, const int64_t* seq_len,
+    const int32_t* offsets, int32_t n_win, int32_t read_len,
+    const uint64_t* fp_sorted, const int64_t* fp_off, const int32_t* fp_rids,
+    int64_t n_fp, const uint8_t* codes_fwd, const uint8_t* codes_rc,
+    int64_t stride, const int32_t* seed_pos, const int32_t* row_of,
+    const int64_t* out_off, int32_t* out_pos, int32_t* out_ed,
+    int32_t* out_rid, int32_t* out_or, int64_t* out_ns) {
+#pragma omp parallel for schedule(dynamic)
+  for (int32_t i = 0; i < n_win; i++) {
+    int64_t cap = out_off[i + 1] - out_off[i];
+    out_ns[i] = align_window_impl(
+        seq_buf + seq_off[i], seq_len[i], read_len, offsets[i], fp_sorted,
+        fp_off, fp_rids, n_fp, codes_fwd, codes_rc, stride, seed_pos, row_of,
+        out_pos + out_off[i], out_ed + out_off[i], out_rid + out_off[i],
+        out_or + out_off[i], cap);
+  }
+}
+
+// Paired coverage-gap sweep (reference graph.cc:2092-2119 ==
+// graph.cc:1893-1919): sort events by (pos, type) and scan.
+int64_t coverage_sweep(const int32_t* ev_pos, const int32_t* ev_typ,
+                       int64_t n, double exp_cov_move, double span_limit) {
+  static thread_local std::vector<std::pair<int32_t, int32_t>> ev;
+  ev.resize(n);
+  for (int64_t i = 0; i < n; i++) ev[i] = {ev_pos[i], ev_typ[i]};
+  std::sort(ev.begin(), ev.end());
+  int64_t last_event_pos = 0;
+  int32_t last_event_type = -1;
+  int64_t last_begin = 0;
+  int64_t bad_bases = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t pos = ev[i].first;
+    int32_t typ = ev[i].second;
+    if (typ == 3) {
+      if ((double)(pos - last_event_pos) > exp_cov_move &&
+          (last_event_type == 3 || last_event_type < 0) &&
+          (double)(pos - last_begin) > span_limit) {
+        bad_bases += pos - last_event_pos;
+      }
+    }
+    if (typ == 1) last_begin = pos;
+    last_event_pos = pos;
+    last_event_type = typ;
+  }
+  return bad_bases;
 }
 
 // ------------------------------------------------ position collection

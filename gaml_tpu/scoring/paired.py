@@ -238,8 +238,14 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
             np.ascontiguousarray(table), float(insert_mean), float(insert_std),
             float(min_prob_start), float(min_prob_per_base), use_all_to_cov)
         changes.append((rid_arr, p_arr))
-        events.extend(zip(ev_pos.tolist(), ev_typ.tolist()))
-        return _coverage_sweep(events, insert_mean, insert_std, exp_cov_move)
+        from ..native import coverage_sweep as native_sweep
+
+        py_pos = np.array([e[0] for e in events], dtype=np.int32)
+        py_typ = np.array([e[1] for e in events], dtype=np.int32)
+        return int(native_sweep(np.concatenate([py_pos, ev_pos]),
+                                np.concatenate([py_typ, ev_typ]),
+                                exp_cov_move,
+                                insert_mean + 5 * insert_std))
 
     positions1: Dict[int, list] = {}
     positions2: Dict[int, list] = {}

@@ -333,6 +333,24 @@ class ReadSet:
             for sp, als in zip(subpaths, results):
                 self.aligment_cache[sp] = als
             return
+        bundle = getattr(self.aligner, "native_bundle", None)
+        if bundle is not None and self.backend == "bfs" and len(subpaths) > 1:
+            # one native call, OpenMP-parallel across windows
+            from ..align.aligner import spell_subpath
+            from ..native import align_windows_batch
+
+            rl = self.aligner.index.read_len
+            todo = []
+            for sp in subpaths:
+                seq, offset = spell_subpath(graph, sp)
+                if rl > 0 and len(seq) >= rl:
+                    todo.append((sp, seq, offset))
+            for (sp, _s, _o), res in zip(
+                    todo, align_windows_batch(bundle,
+                                              [t[1] for t in todo],
+                                              [t[2] for t in todo])):
+                self.aligment_cache[sp] = AlignmentColumns(*res)
+            return
         for sp in subpaths:
             self.aligment_cache[sp] = self.aligner.align_subpath(graph, sp)
 
