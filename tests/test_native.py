@@ -115,3 +115,44 @@ def test_native_reachability_matches_python():
     gr.calc_reachability_big(500)
     assert gr.reach_limit == gr_py.reach_limit
     assert gr.reach_big == gr_py.reach_big
+
+
+def test_align_windows_batch_matches_serial(tmp_path):
+    """OpenMP batch alignment == serial align_window per window."""
+    from fixtures import sample_reads, write_fastq
+    from gaml_tpu.scoring.readset import ReadSet
+
+    rng = np.random.default_rng(7)
+    genome = random_seq(rng, 3000)
+    reads = sample_reads(rng, genome, 300, 60, err_rate=0.01)
+    fq = tmp_path / "b.fastq"
+    write_fastq(str(fq), reads)
+    rs = ReadSet("b", str(fq), 0.96, 0.01)
+    rs.preprocess_reads()
+    rs.prepare_read_index()
+    bundle = rs.aligner.native_bundle
+    assert bundle is not None
+    seqs = [dna.encode_seq(genome[a:a + ln])
+            for a, ln in ((0, 200), (100, 400), (700, 90), (1500, 800),
+                          (40, 61), (2900, 100))]
+    offsets = [5, 0, 17, 3, 0, 2]
+    batch = native.align_windows_batch(bundle, seqs, offsets)
+    assert len(batch) == len(seqs)
+    for seq, off, got in zip(seqs, offsets, batch):
+        exp = native.align_window(bundle, seq, off)
+        for a, b in zip(got, exp):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_coverage_sweep_matches_python():
+    from gaml_tpu.scoring.paired import _coverage_sweep
+
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        n = int(rng.integers(0, 200))
+        pos = rng.integers(0, 5000, n).astype(np.int32)
+        typ = rng.choice([1, 3], n).astype(np.int32)
+        events = list(zip(pos.tolist(), typ.tolist()))
+        exp = _coverage_sweep(events, 300.0, 25.0, 70.0)
+        got = native.coverage_sweep(pos, typ, 70.0, 300.0 + 5 * 25.0)
+        assert got == exp
