@@ -15,6 +15,8 @@ import math
 import time
 from typing import Dict, List, Optional
 
+import numpy as np
+
 from ..core.io import output_paths_to_file
 from ..core.paths import Path
 from ..moves.advice import extend_paths_adv_pacbio, extend_paths_adv_paired
@@ -181,17 +183,21 @@ class Optimizer:
         agg = self.metrics.timers["propose"]
         agg[0] += time.perf_counter() - t_propose
         agg[1] += 1
-        # rep stats + re-add missing long nodes (counts over the *old* walks,
-        # additions into the new — reference gaml.cc:216-241)
-        counts = {i: 0 for i in range(0, gr.num_nodes, 2)
-                  if gr.node_len(i) > s.threshold}
-        for p in paths:
-            for e in p:
-                if e >= 0 and gr.node_len(e) > s.threshold:
-                    counts[(e // 2) * 2] += 1
-        for node, c in counts.items():
-            if c == 0:
-                new_paths.append([node])
+        # re-add missing long nodes (presence over the *old* walks,
+        # additions into the new, ascending id — reference gaml.cc:216-241)
+        lens = gr.lens_np()
+        key = (gr.num_nodes, s.threshold)
+        if getattr(self, "_long_ids_key", None) != key:
+            ids = np.arange(0, gr.num_nodes, 2)
+            self._long_ids = ids[lens[ids] > s.threshold]
+            self._long_ids_key = key
+        flat = np.asarray([e for p in paths for e in p], dtype=np.int64)
+        nn = flat[flat >= 0] if len(flat) else flat
+        sel = nn[lens[nn] > s.threshold] if len(nn) else nn
+        mark = np.zeros(gr.num_nodes, dtype=bool)
+        mark[(sel // 2) * 2] = True
+        for node in self._long_ids[~mark[self._long_ids]]:
+            new_paths.append([int(node)])
 
         local_p = _clean_lone_duplicates(new_paths,
                                          local_p if was_local else None)
