@@ -286,6 +286,9 @@ def align_window(bundle: NativeAlignBundle, seq: np.ndarray, offset: int):
             out_or[:n].copy())
 
 
+_BATCH_POOL = None
+
+
 def align_windows_batch(bundle: NativeAlignBundle, seqs: List[np.ndarray],
                         offsets: List[int]):
     """Align many windows in one native call (OpenMP-parallel across
@@ -306,10 +309,16 @@ def align_windows_batch(bundle: NativeAlignBundle, seqs: List[np.ndarray],
     out_off = np.zeros(n_win + 1, dtype=np.int64)
     np.cumsum(caps, out=out_off[1:])
     total = int(out_off[-1])
-    out_pos = np.empty(total, dtype=np.int32)
-    out_ed = np.empty(total, dtype=np.int32)
-    out_rid = np.empty(total, dtype=np.int32)
-    out_or = np.empty(total, dtype=np.int32)
+    # persistent output pool: big batches would otherwise page-fault
+    # hundreds of MB of fresh pages every call
+    pool = _BATCH_POOL
+    if pool is None or len(pool[0]) < total:
+        pool = (np.empty(total, dtype=np.int32),
+                np.empty(total, dtype=np.int32),
+                np.empty(total, dtype=np.int32),
+                np.empty(total, dtype=np.int32))
+        globals()["_BATCH_POOL"] = pool
+    out_pos, out_ed, out_rid, out_or = pool
     out_ns = np.zeros(n_win, dtype=np.int64)
     lib.align_windows_batch(
         seq_buf.ctypes.data, seq_off.ctypes.data, seq_len.ctypes.data,
