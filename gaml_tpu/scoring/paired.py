@@ -55,6 +55,17 @@ def get_changes(new_paths: Sequence[Sequence[int]],
     return erased, added
 
 
+def _pair_lens(read_set1, read_set2) -> np.ndarray:
+    """Cached L1+L2 per pair (constant after ingestion; feeds the memoized
+    floor thresholds, so the buffer identity must be stable)."""
+    cached = getattr(read_set1, "_pair_lens_cache", None)
+    if cached is not None and cached[0] is read_set2:
+        return cached[1]
+    lens = read_set1.read_lens_array() + read_set2.read_lens_array()
+    read_set1._pair_lens_cache = (read_set2, lens)
+    return lens
+
+
 def _pair_product(read_set1, read_set2, rid: int, x_pos: int, x_ed: int,
                   x_or: int, y_pos: int, y_ed: int, y_or: int,
                   table, insert_mean, insert_std):
@@ -168,7 +179,7 @@ def calc_score_for_paths_paired(graph, paths, read_set1, read_set2,
                 read_probs[i] += p
 
     bad_bases = _coverage_sweep(events, insert_mean, insert_std, exp_cov_move)
-    lens = read_set1.read_lens_array() + read_set2.read_lens_array()
+    lens = _pair_lens(read_set1, read_set2)
     score, zero_reads = get_total_prob(read_probs, total_len1,
                                        min_prob_per_base, min_prob_start, lens)
     return score - bad_bases * no_cov_penalty, zero_reads, total_len1
@@ -319,7 +330,7 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
             # reference's sequential probs[read] += p
             np.add.at(scoring_state.probs, rid_arr, sign * p_arr)
 
-    lens = read_set1.read_lens_array() + read_set2.read_lens_array()
+    lens = _pair_lens(read_set1, read_set2)
     score, zero_reads = get_total_prob(scoring_state.probs, total,
                                        min_prob_per_base, min_prob_start, lens)
     scoring_state.old_paths = [list(p) for p in paths]

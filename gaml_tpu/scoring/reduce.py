@@ -16,6 +16,28 @@ import numpy as np
 K_THRESHOLD_PROB = 1e-35  # reference kThresholdProb (graph.cc:24)
 
 
+_THRESH_MEMO: dict = {}
+
+
+def floor_thresholds(min_prob_per_base: float, min_prob_start: float,
+                     lens: np.ndarray) -> np.ndarray:
+    """exp(min_prob_start + min_prob_per_base*L) per read — invariant
+    across rescores, so memoized (keyed on the parameters and the lens
+    buffer identity; read lengths never change after ingestion)."""
+    key = (float(min_prob_per_base), float(min_prob_start), id(lens),
+           len(lens))
+    hit = _THRESH_MEMO.get(key)
+    if hit is None:
+        if len(_THRESH_MEMO) > 64:
+            _THRESH_MEMO.clear()
+        hit = np.exp(min_prob_start +
+                     min_prob_per_base * np.asarray(lens, dtype=np.float64))
+        _THRESH_MEMO[key] = (lens, hit)  # keep lens alive so id() is stable
+    else:
+        hit = hit[1]
+    return hit
+
+
 def get_total_prob(read_probs: np.ndarray, total_len: int,
                    min_prob_per_base: float, min_prob_start: float,
                    lens: np.ndarray) -> Tuple[float, int]:
@@ -25,7 +47,7 @@ def get_total_prob(read_probs: np.ndarray, total_len: int,
     if total_len == 0:
         total_len = 1
     probs = np.asarray(read_probs, dtype=np.float64) / (2 * total_len)
-    thresholds = np.exp(min_prob_start + min_prob_per_base * np.asarray(lens, dtype=np.float64))
+    thresholds = floor_thresholds(min_prob_per_base, min_prob_start, lens)
     floored = probs < thresholds
     zero_reads = int(np.count_nonzero(floored))
     probs = np.where(floored, thresholds, probs)
