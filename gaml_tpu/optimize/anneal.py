@@ -40,18 +40,21 @@ def _clean_lone_duplicates(paths: List[Path], local_p: Optional[int] = None):
         # dropped iff locs[x] holds another walk, i.e. some OTHER entry
         # e' has e' in {x, x^1}.  A lone walk contributes exactly one
         # such entry itself, so count canonical pairs and test > 1.
-        cnt: Dict[int, int] = {}
+        singles = [i for i, p in enumerate(paths) if len(p) == 1]
+        if not singles:
+            break
+        flat: List[int] = []
         for p in paths:
-            for e in p:
-                k = e ^ (e & 1) if e >= 0 else min(e, e ^ 1)
-                cnt[k] = cnt.get(k, 0) + 1
-        for i, p in enumerate(paths):
-            if len(p) > 1:
-                continue
-            x = p[0]
-            k = x ^ (x & 1) if x >= 0 else min(x, x ^ 1)
-            if cnt[k] > 1:
-                clean = i
+            flat.extend(p)
+        a = np.asarray(flat, dtype=np.int64)
+        keys = np.where(a >= 0, a & ~np.int64(1), np.minimum(a, a ^ 1))
+        uniq, cnts = np.unique(keys, return_counts=True)
+        sk = np.asarray([paths[i][0] for i in singles], dtype=np.int64)
+        skeys = np.where(sk >= 0, sk & ~np.int64(1), np.minimum(sk, sk ^ 1))
+        dup = cnts[np.searchsorted(uniq, skeys)] > 1
+        hits = np.nonzero(dup)[0]
+        if len(hits):
+            clean = singles[int(hits[-1])]  # last matching walk, as before
         if clean == -1:
             break
         if local_p is not None and clean < local_p:

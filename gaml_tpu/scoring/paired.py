@@ -40,12 +40,14 @@ def get_changes(new_paths: Sequence[Sequence[int]],
                 old_paths: Sequence[Sequence[int]]):
     """Multiset diff of walks (reference GetChanges, graph.cc:1745-1764;
     the reverse-complement matching there is commented out)."""
-    old_index = Counter(tuple(p) for p in old_paths)
+    old_index = Counter(map(tuple, old_paths))
     added = []
+    get = old_index.get
     for p in new_paths:
         key = tuple(p)
-        if old_index[key] > 0:
-            old_index[key] -= 1
+        c = get(key, 0)
+        if c > 0:
+            old_index[key] = c - 1
         else:
             added.append(list(p))
     erased = []
