@@ -237,6 +237,25 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
                 events.append((cur_len, 1))
             ctgs_with_st.append((ctg, cur_len))
             cur_len += path_len(graph, ctg)
+        # contribution memo: the per-walk (rids, ps, bad) is a pure
+        # function of walk content ONLY while every window of both mates
+        # is already in the alignment caches — the reference's staging
+        # history-dependence (windows skipped by the last_end carry show
+        # up later) lives exactly in the not-fully-cached case, so the
+        # memo keys on the walk-stream memo (which only admits
+        # fully-cached streams) and is bit-exact by construction.
+        wkey = (False, tuple((tuple(c), st) for c, st in ctgs_with_st))
+        mkey = (wkey, float(insert_mean), float(insert_std),
+                float(exp_cov_move), bool(use_all_to_cov),
+                float(min_prob_per_base), float(min_prob_start))
+        memo = getattr(read_set1, "_inc_contrib_memo", None)
+        if memo is None:
+            memo = read_set1._inc_contrib_memo = {}
+        hit = memo.get(mkey)
+        if hit is not None:
+            rid_arr, p_arr, bad = hit
+            changes.append((rid_arr, p_arr))
+            return bad
         g1 = collect_positions(
             *read_set1.stage_position_windows(graph, ctgs_with_st))
         g2 = collect_positions(
@@ -255,10 +274,20 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
 
         py_pos = np.array([e[0] for e in events], dtype=np.int32)
         py_typ = np.array([e[1] for e in events], dtype=np.int32)
-        return int(native_sweep(np.concatenate([py_pos, ev_pos]),
-                                np.concatenate([py_typ, ev_typ]),
-                                exp_cov_move,
-                                insert_mean + 5 * insert_std))
+        bad = int(native_sweep(np.concatenate([py_pos, ev_pos]),
+                               np.concatenate([py_typ, ev_typ]),
+                               exp_cov_move,
+                               insert_mean + 5 * insert_std))
+        wm1 = getattr(read_set1, "_walk_stage_memo", None) or {}
+        wm2 = getattr(read_set2, "_walk_stage_memo", None) or {}
+        if wkey in wm1 and wkey in wm2:
+            budget = getattr(read_set1, "_inc_contrib_entries", 0)
+            if budget > 30_000_000:
+                memo.clear()
+                budget = 0
+            read_set1._inc_contrib_entries = budget + len(p_arr)
+            memo[mkey] = (rid_arr, p_arr, bad)
+        return bad
 
     positions1: Dict[int, list] = {}
     positions2: Dict[int, list] = {}
