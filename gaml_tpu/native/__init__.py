@@ -121,6 +121,15 @@ def get_lib():
         lib.fastq_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
         lib.fastq_free.restype = None
         lib.fastq_free.argtypes = [ctypes.c_void_p]
+        lib.read_index_build.restype = None
+        lib.read_index_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.reduce_floored_logs.restype = ctypes.c_double
+        lib.reduce_floored_logs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_void_p]
         for name in ("reach_limit_compute", "reach_big_compute"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_void_p
@@ -287,6 +296,7 @@ def align_window(bundle: NativeAlignBundle, seq: np.ndarray, offset: int):
 
 
 _BATCH_POOL = None
+_EV_POOL = None
 
 
 def align_windows_batch(bundle: NativeAlignBundle, seqs: List[np.ndarray],
@@ -342,6 +352,40 @@ def align_windows_batch(bundle: NativeAlignBundle, seqs: List[np.ndarray],
     return results
 
 
+def read_index_build(codes_mat: np.ndarray, k: int = 15):
+    """One-pass ingestion over a [n, L] uniform-length code matrix:
+    returns (fp u64[n], ok u8[n], kmers u32[n,m], rc_kmers u32[n,m],
+    seed_pos i32[n,2]) — bit-identical to the numpy pipeline
+    (pack_kmers_batch / revcomp_kmers / maxhash_of_reads_batch /
+    _ReadCache.build_precomputes)."""
+    lib = get_lib()
+    assert lib is not None
+    codes_mat = np.ascontiguousarray(codes_mat, dtype=np.uint8)
+    n, L = codes_mat.shape
+    m = max(L - k + 1, 0)
+    fp = np.zeros(n, dtype=np.uint64)
+    ok = np.zeros(n, dtype=np.uint8)
+    kmers = np.empty((n, m), dtype=np.uint32)
+    rc = np.empty((n, m), dtype=np.uint32)
+    seed = np.zeros((n, 2), dtype=np.int32)
+    if m:
+        lib.read_index_build(_ptr(codes_mat), n, L, k, _ptr(fp), _ptr(ok),
+                             _ptr(kmers), _ptr(rc), _ptr(seed))
+    return fp, ok, kmers, rc, seed
+
+
+def reduce_floored_logs(logp: np.ndarray, logt: np.ndarray,
+                        log2len: float):
+    """Native floored mean-log reduction: returns (sum of per-read floored
+    logs, zero_reads)."""
+    lib = get_lib()
+    assert lib is not None
+    zeros = np.zeros(1, dtype=np.int64)
+    s = lib.reduce_floored_logs(_ptr(logp), _ptr(logt), float(log2len),
+                                len(logp), _ptr(zeros))
+    return float(s), int(zeros[0])
+
+
 def coverage_sweep(ev_pos: np.ndarray, ev_typ: np.ndarray,
                    exp_cov_move: float, span_limit: float) -> int:
     """Native event sort + coverage-gap sweep."""
@@ -354,23 +398,28 @@ def coverage_sweep(ev_pos: np.ndarray, ev_typ: np.ndarray,
                                   float(span_limit)))
 
 
-def collect_positions(meta, flat, use_filter: bool = True):
+def collect_positions(meta, flat, use_filter: bool = True, pool=None):
     """Run the native position collection; returns grouped arrays
     (rids, starts, cnts, pos, ed, orient).  use_filter selects the
     GetPositionsOnlyPath trailing-duplicate filter; off = AddPositions
-    semantics."""
+    semantics.  ``pool``: an optional caller-owned single-slot buffer pool
+    (a one-element list) reused across calls — the returned arrays are
+    views into it, valid only until the caller's next call with the same
+    pool."""
     lib = get_lib()
     assert lib is not None
     w_off, w_len, w_curpos, w_group, w_ctg = meta
     a_pos, a_ed, a_rid, a_or = flat
     n_windows = len(w_off)
     cap = max(1, len(a_pos))
-    out_rid = np.empty(cap, dtype=np.int32)
-    out_start = np.empty(cap, dtype=np.int64)
-    out_cnt = np.empty(cap, dtype=np.int32)
-    out_pos = np.empty(cap, dtype=np.int32)
-    out_ed = np.empty(cap, dtype=np.int32)
-    out_or = np.empty(cap, dtype=np.int32)
+    bufs = pool[0] if pool is not None and pool[0] is not None else None
+    if bufs is None or len(bufs[0]) < cap:
+        bufs = (np.empty(cap, dtype=np.int32), np.empty(cap, dtype=np.int64),
+                np.empty(cap, dtype=np.int32), np.empty(cap, dtype=np.int32),
+                np.empty(cap, dtype=np.int32), np.empty(cap, dtype=np.int32))
+        if pool is not None:
+            pool[0] = bufs
+    out_rid, out_start, out_cnt, out_pos, out_ed, out_or = bufs
     out_nreads = np.zeros(1, dtype=np.int32)
     lib.collect_positions(
         n_windows, w_off.ctypes.data, w_len.ctypes.data, w_curpos.ctypes.data, w_group.ctypes.data,
@@ -401,10 +450,18 @@ def paired_inc_pairs2(g1, g2, rlen1_all, rlen2_all, match_pow1,
         match_mask = (idx < len(rid2)) & (rid2[idx] == rid1)
         total_pairs = int(np.sum(cnt1[match_mask].astype(np.int64) *
                                  cnt2[idx[match_mask]]))
+    # out_p / out_rid may be retained by the caller (contribution memos):
+    # fresh allocations.  The event buffers are consumed immediately, so
+    # they come from a module pool.
     out_p = np.zeros(max(total_pairs, 1), dtype=np.float64)
     out_rid = np.zeros(max(total_pairs, 1), dtype=np.int32)
-    out_ev_pos = np.zeros(2 * max(total_pairs, 1), dtype=np.int32)
-    out_ev_typ = np.zeros(2 * max(total_pairs, 1), dtype=np.int32)
+    ev_cap = 2 * max(total_pairs, 1)
+    evp = _EV_POOL
+    if evp is None or len(evp[0]) < ev_cap:
+        evp = (np.empty(ev_cap, dtype=np.int32),
+               np.empty(ev_cap, dtype=np.int32))
+        globals()["_EV_POOL"] = evp
+    out_ev_pos, out_ev_typ = evp
     out_ev_cnt = np.zeros(1, dtype=np.int64)
     n = lib.paired_inc_pairs2(
         rid1.ctypes.data, st1.ctypes.data, cnt1.ctypes.data, len(rid1),

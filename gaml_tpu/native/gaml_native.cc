@@ -900,4 +900,83 @@ void reach_result_copy(void* handle, int32_t* out) {
 
 void reach_free(void* handle) { delete (ReachResult*)handle; }
 
+// One-pass read-index ingestion over a uniform-length code matrix
+// (reference index build, graph.cc:1254-1287, plus the aligner's read-side
+// precomputes): per read, the packed k-mers (non-ACGT packs as 0, matching
+// the reference trans table), the reverse-complement read's k-mers, the
+// max-hash fingerprint, the ACGT flag, and the first fingerprint-k-mer
+// position in each orientation.
+void read_index_build(const uint8_t* codes, int64_t n, int32_t L, int32_t k,
+                      uint64_t* out_fp, uint8_t* out_ok, uint32_t* out_kmers,
+                      uint32_t* out_rc, int32_t* out_seed) {
+  const int32_t m = L - k + 1;
+  if (m <= 0) return;
+  const uint32_t XOR = 0x2204abcdu;
+  const uint32_t MASK = (uint32_t)((1ull << (2 * k)) - 1);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* r = codes + i * L;
+    uint32_t* km = out_kmers + i * m;
+    uint32_t* rc = out_rc + i * m;
+    bool ok = true;
+    uint32_t cur = 0;
+    for (int32_t j = 0; j < L; j++) {
+      uint8_t c = r[j];
+      if (c >= 4) { ok = false; c = 0; }
+      cur = (cur << 2) | c;
+      if (j >= k - 1) km[j - k + 1] = cur & MASK;
+    }
+    out_ok[i] = ok ? 1 : 0;
+    uint32_t best = 0;
+    int32_t first = 0, last = 0;
+    for (int32_t j = 0; j < m; j++) {
+      uint32_t h = km[j] ^ XOR;
+      if (j == 0 || h > best) { best = h; first = j; last = j; }
+      else if (h == best) last = j;
+    }
+    out_fp[i] = best;
+    // rc matrix row: revcomp of km[m-1-j] (complement = XOR full mask,
+    // then reverse the 2-bit groups)
+    for (int32_t j = 0; j < m; j++) {
+      uint32_t v = km[m - 1 - j] ^ MASK;
+      uint32_t out = 0;
+      for (int32_t b = 0; b < k; b++) {
+        out = (out << 2) | (v & 3u);
+        v >>= 2;
+      }
+      rc[j] = out;
+    }
+    out_seed[2 * i] = first;
+    out_seed[2 * i + 1] = m - 1 - last;
+  }
+}
+
+// Floored mean-log reduction from cached per-read log probabilities
+// (reference GetTotalProb, graph.cc:1495-1516, evaluated in log space):
+// score_sum = sum_i max(logp[i] - log2len, logt[i]), zeros = count of
+// floored reads.  Four deterministic accumulator lanes (independent of
+// thread count / data) so results are reproducible across machines.
+double reduce_floored_logs(const double* logp, const double* logt,
+                           double log2len, int64_t n, int64_t* out_zeros) {
+  double acc[4] = {0.0, 0.0, 0.0, 0.0};
+  int64_t zeros = 0;
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    for (int k = 0; k < 4; k++) {
+      double a = logp[i + k] - log2len;
+      double t = logt[i + k];
+      zeros += (a < t);
+      acc[k] += a < t ? t : a;
+    }
+  }
+  for (; i < n; i++) {
+    double a = logp[i] - log2len;
+    double t = logt[i];
+    zeros += (a < t);
+    acc[0] += a < t ? t : a;
+  }
+  *out_zeros = zeros;
+  return (acc[0] + acc[1]) + (acc[2] + acc[3]);
+}
+
 }  // extern "C"

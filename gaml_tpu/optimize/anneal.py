@@ -187,19 +187,25 @@ class Optimizer:
         agg[0] += time.perf_counter() - t_propose
         agg[1] += 1
         # re-add missing long nodes (presence over the *old* walks,
-        # additions into the new, ascending id — reference gaml.cc:216-241)
-        lens = gr.lens_np()
-        key = (gr.num_nodes, s.threshold)
-        if getattr(self, "_long_ids_key", None) != key:
-            ids = np.arange(0, gr.num_nodes, 2)
-            self._long_ids = ids[lens[ids] > s.threshold]
-            self._long_ids_key = key
-        flat = np.asarray([e for p in paths for e in p], dtype=np.int64)
-        nn = flat[flat >= 0] if len(flat) else flat
-        sel = nn[lens[nn] > s.threshold] if len(nn) else nn
-        mark = np.zeros(gr.num_nodes, dtype=bool)
-        mark[(sel // 2) * 2] = True
-        for node in self._long_ids[~mark[self._long_ids]]:
+        # additions into the new, ascending id — reference gaml.cc:216-241).
+        # The missing set depends only on the accepted walk set, which is
+        # unchanged across rejected iterations — cached by object identity.
+        readd = getattr(self, "_readd_cache", None)
+        if readd is None or readd[0] is not paths:
+            lens = gr.lens_np()
+            key = (gr.num_nodes, s.threshold)
+            if getattr(self, "_long_ids_key", None) != key:
+                ids = np.arange(0, gr.num_nodes, 2)
+                self._long_ids = ids[lens[ids] > s.threshold]
+                self._long_ids_key = key
+            flat = np.asarray([e for p in paths for e in p], dtype=np.int64)
+            nn = flat[flat >= 0] if len(flat) else flat
+            sel = nn[lens[nn] > s.threshold] if len(nn) else nn
+            mark = np.zeros(gr.num_nodes, dtype=bool)
+            mark[(sel // 2) * 2] = True
+            readd = (paths, self._long_ids[~mark[self._long_ids]])
+            self._readd_cache = readd
+        for node in readd[1]:
             new_paths.append([int(node)])
 
         local_p = _clean_lone_duplicates(new_paths,

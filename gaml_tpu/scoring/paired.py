@@ -25,7 +25,7 @@ import numpy as np
 
 from ..core.logprob import insert_prob, insert_prob_table
 from ..core.paths import path_len, split_at_gaps, total_len as paths_total_len
-from .reduce import get_total_prob
+from .reduce import get_total_prob, get_total_prob_from_logs
 
 
 @dataclass
@@ -256,10 +256,20 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
             rid_arr, p_arr, bad = hit
             changes.append((rid_arr, p_arr))
             return bad
+        pool1 = getattr(read_set1, "_collect_pool", None)
+        if pool1 is None:
+            pool1 = read_set1._collect_pool = [None]
+        pool2 = None  # same-object mates must not share one buffer slot
+        if read_set2 is not read_set1:
+            pool2 = getattr(read_set2, "_collect_pool", None)
+            if pool2 is None:
+                pool2 = read_set2._collect_pool = [None]
         g1 = collect_positions(
-            *read_set1.stage_position_windows(graph, ctgs_with_st))
+            *read_set1.stage_position_windows(graph, ctgs_with_st),
+            pool=pool1)
         g2 = collect_positions(
-            *read_set2.stage_position_windows(graph, ctgs_with_st))
+            *read_set2.stage_position_windows(graph, ctgs_with_st),
+            pool=pool2)
         p_arr, rid_arr, ev_pos, ev_typ = paired_inc_pairs2(
             g1, g2,
             read_set1.read_lens_i32(), read_set2.read_lens_i32(),
@@ -328,6 +338,32 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
     return _coverage_sweep(events, insert_mean, insert_std, exp_cov_move)
 
 
+def _state_derived(state: ScoringState, graph):
+    """Persistent caches derived from state.old_paths: the walk-multiset
+    Counter (so get_changes never rehashes the old side) and the total
+    spelled length.  Rebuilt whenever old_paths was replaced externally
+    (checkpoint resume, direct assignment in tests) — detected by object
+    identity."""
+    if getattr(state, "_derived_tag", None) is not state.old_paths:
+        state._counter = Counter(map(tuple, state.old_paths))
+        state._total_len = paths_total_len(graph, state.old_paths)
+        state._derived_tag = state.old_paths
+    return state._counter, state._total_len
+
+
+def _state_log_probs(state: ScoringState) -> np.ndarray:
+    """Cached log of state.probs (-inf at zero/negative entries), kept in
+    sync by the incremental scorer; rebuilt if probs was replaced."""
+    logp = getattr(state, "_log_probs", None)
+    if logp is None or getattr(state, "_log_probs_tag", None) is not state.probs:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logp = np.where(state.probs > 0, np.log(
+                np.where(state.probs > 0, state.probs, 1.0)), -np.inf)
+        state._log_probs = logp
+        state._log_probs_tag = state.probs
+    return logp
+
+
 def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
                                      insert_mean: float, insert_std: float,
                                      scoring_state: ScoringState,
@@ -337,16 +373,44 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
                                      min_prob_per_base: float = -0.7,
                                      min_prob_start: float = -10.0):
     """Incremental rescore (reference CalcScoreForPathsNew,
-    graph.cc:1952-1989).  Returns (score, zero_reads, total_len)."""
-    erased, added = get_changes(paths, scoring_state.old_paths)
+    graph.cc:1952-1989).  Returns (score, zero_reads, total_len).
+
+    The walk set is tuple-ized exactly once per call; the old side of the
+    multiset diff, the total length, and the per-read log probabilities are
+    maintained incrementally across calls (all three were per-iteration
+    O(assembly)/O(reads) passes before)."""
+    state = scoring_state
+    new_tuples = [p if type(p) is tuple else tuple(p) for p in paths]
+    counter, old_total = _state_derived(state, graph)
+
+    # multiset diff against the persistent counter (reference GetChanges,
+    # graph.cc:1745-1764); dict.copy() copies hash entries, so the old side
+    # costs no rehashing
+    remaining = counter.copy()
+    added: List[tuple] = []
+    get = remaining.get
+    for key in new_tuples:
+        c = get(key, 0)
+        if c > 0:
+            remaining[key] = c - 1
+        else:
+            added.append(key)
+    erased = [key for key, cnt in remaining.items() for _ in range(cnt)]
+
     assert read_set1.get_number_of_reads() == read_set2.get_number_of_reads()
     n = read_set1.get_number_of_reads()
-    if len(scoring_state.probs) == 0:
-        scoring_state.probs = np.zeros(n, dtype=np.float64)
-    total = paths_total_len(graph, paths)
-    read_set1.precompute_alignment_for_paths(paths, graph)
-    read_set2.precompute_alignment_for_paths(paths, graph)
+    if len(state.probs) == 0:
+        state.probs = np.zeros(n, dtype=np.float64)
+    total = old_total
+    for p in added:
+        total += path_len(graph, p)
+    for p in erased:
+        total -= path_len(graph, p)
+    read_set1.precompute_alignment_for_paths(paths, graph, keys=new_tuples)
+    read_set2.precompute_alignment_for_paths(paths, graph, keys=new_tuples)
 
+    logp = _state_log_probs(state)
+    touched: List[np.ndarray] = []
     for group, sign in ((erased, -1), (added, +1)):
         group_changes: List = []
         group_bad = 0
@@ -355,14 +419,35 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
                 graph, path, read_set1, read_set2, insert_mean, insert_std,
                 exp_cov_move, use_all_to_cov, min_prob_per_base,
                 min_prob_start, group_changes)
-        scoring_state.bad_bases += sign * group_bad
+        state.bad_bases += sign * group_bad
         for rid_arr, p_arr in group_changes:
             # unbuffered in-order accumulation (np.add.at), matching the
             # reference's sequential probs[read] += p
-            np.add.at(scoring_state.probs, rid_arr, sign * p_arr)
+            np.add.at(state.probs, rid_arr, sign * p_arr)
+            touched.append(rid_arr)
+    if touched:
+        rids = np.unique(np.concatenate(touched))
+        vals = state.probs[rids]
+        pos = vals > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logp[rids] = np.where(pos, np.log(np.where(pos, vals, 1.0)),
+                                  -np.inf)
 
     lens = _pair_lens(read_set1, read_set2)
-    score, zero_reads = get_total_prob(scoring_state.probs, total,
-                                       min_prob_per_base, min_prob_start, lens)
-    scoring_state.old_paths = [list(p) for p in paths]
-    return score - scoring_state.bad_bases * no_cov_penalty, zero_reads, total
+    score, zero_reads = get_total_prob_from_logs(
+        logp, total, min_prob_per_base, min_prob_start, lens)
+
+    # fold the diff into the persistent caches and store the new walk set
+    for key in added:
+        counter[key] += 1
+    for key in erased:
+        c = counter[key] - 1
+        if c:
+            counter[key] = c
+        else:
+            del counter[key]
+    state.old_paths = new_tuples
+    state._counter = counter
+    state._total_len = total
+    state._derived_tag = state.old_paths
+    return score - state.bad_bases * no_cov_penalty, zero_reads, total

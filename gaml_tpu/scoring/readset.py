@@ -130,6 +130,8 @@ class ReadSet:
             codes_list.append(codes)
             rid_list.append(rid)
         self._fastq_cache = None
+        if self._prepare_index_native(codes_list, rid_list):
+            return
         if hasattr(self.index, "add_reads_batch"):
             self.index.add_reads_batch(codes_list, rid_list)
         else:
@@ -153,6 +155,57 @@ class ReadSet:
                 self.aligner._read_cache.matrix_rids = {
                     r: i for i, r in enumerate(rids)}
                 self._build_native_bundle(codes_fwd, rids, main_len)
+
+    def _prepare_index_native(self, codes_list, rid_list) -> bool:
+        """One-call native ingestion (max-hash index, uniform read length):
+        fingerprints, k-mer matrices, rc matrix, and seed positions from a
+        single OpenMP pass (bit-identical to the numpy pipeline).  Returns
+        False when the preconditions don't hold (caller falls back)."""
+        from ..native import get_lib
+
+        from ..index.maxhash import K_INDEX_KMER
+
+        if (get_lib() is None or self.index_kind != "maxhash"
+                or not codes_list):
+            return False
+        L = len(codes_list[0])
+        if L <= K_INDEX_KMER or any(len(c) != L for c in codes_list):
+            return False
+        from ..core.dna import _COMP_LUT
+        from ..native import NativeAlignBundle, read_index_build
+
+        codes_fwd = np.stack(codes_list)
+        fp, ok, kmers, rc, seed = read_index_build(codes_fwd, K_INDEX_KMER)
+
+        okb = ok.astype(bool)
+        rids_arr = np.asarray(rid_list, dtype=np.int64)[okb]
+        fps_ok = fp[okb]
+        order = np.argsort(fps_ok, kind="stable")
+        sf = fps_ok[order]
+        sr = rids_arr[order]
+        index = self.index.index
+        if len(sf):
+            bounds = np.nonzero(np.diff(sf))[0] + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sf)]))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                index[int(sf[s])] = sr[s:e].tolist()
+            self.index.read_len = L
+
+        self.aligner = SubpathAligner(self.index, self.read_seqs,
+                                      self.backend)
+        cache = self.aligner._read_cache
+        cache.kmer_matrix = kmers
+        cache.matrix_rids = {r: i for i, r in enumerate(rid_list)}
+        cache._rc_matrix = rc
+        cache.seed_kmer_pos = seed
+        codes_rc = _COMP_LUT[codes_fwd][:, ::-1]
+        row_of = np.full(self.reads_num, -1, dtype=np.int32)
+        for i, r in enumerate(rid_list):
+            row_of[r] = i
+        self.aligner.native_bundle = NativeAlignBundle(
+            index, L, codes_fwd, codes_rc, seed, row_of)
+        return True
 
     def _build_native_bundle(self, codes_fwd, rids, main_len) -> None:
         """Attach the native window-aligner bundle when the C++ library is
@@ -278,10 +331,12 @@ class ReadSet:
             last_end = cur_end
 
     def precompute_alignment_for_paths(self, paths: Sequence[Sequence[int]],
-                                       graph) -> None:
+                                       graph, keys=None) -> None:
         """Batch precompute for every window of every walk, plus inverted
         windows and long single nodes (reference graph.cc:447-493; note
-        ``last_end`` deliberately carries across walks as in the C++)."""
+        ``last_end`` deliberately carries across walks as in the C++).
+        ``keys`` optionally supplies pre-built walk tuples (parallel to
+        ``paths``) so hot callers tuple-ize the walk set only once."""
         subpaths: Set[Subpath] = set()
         last_end = -1
         memo = getattr(self, "_precompute_memo", None)
@@ -289,8 +344,8 @@ class ReadSet:
             memo = self._precompute_memo = {}
         if len(memo) > 200_000:
             memo.clear()
-        for path in paths:
-            pkey = tuple(path)
+        for pi, path in enumerate(paths):
+            pkey = keys[pi] if keys is not None else tuple(path)
             done = memo.get(pkey)
             if done is not None:
                 # all this walk's windows are cached (cache only grows), so

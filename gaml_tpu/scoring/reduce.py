@@ -9,6 +9,7 @@ the single-path debug scorer only.
 """
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import numpy as np
@@ -36,6 +37,54 @@ def floor_thresholds(min_prob_per_base: float, min_prob_start: float,
     else:
         hit = hit[1]
     return hit
+
+
+_LOG_THRESH_MEMO: dict = {}
+
+
+def log_floor_thresholds(min_prob_per_base: float, min_prob_start: float,
+                         lens: np.ndarray) -> np.ndarray:
+    """log of floor_thresholds: min_prob_start + min_prob_per_base*L per
+    read (same memoization contract as floor_thresholds)."""
+    key = (float(min_prob_per_base), float(min_prob_start), id(lens),
+           len(lens))
+    hit = _LOG_THRESH_MEMO.get(key)
+    if hit is None:
+        if len(_LOG_THRESH_MEMO) > 64:
+            _LOG_THRESH_MEMO.clear()
+        hit = (min_prob_start +
+               min_prob_per_base * np.asarray(lens, dtype=np.float64))
+        _LOG_THRESH_MEMO[key] = (lens, hit)
+    else:
+        hit = hit[1]
+    return hit
+
+
+def get_total_prob_from_logs(log_probs: np.ndarray, total_len: int,
+                             min_prob_per_base: float, min_prob_start: float,
+                             lens: np.ndarray) -> Tuple[float, int]:
+    """get_total_prob evaluated from cached per-read log probabilities
+    (``log_probs[i] = log(read_probs[i])``, -inf for zero): the incremental
+    scorer maintains that array so the per-iteration reduction avoids an
+    np.log over every read.  log(p/(2L)) is computed as log(p) - log(2L)
+    and the floor as its log — equal to the direct formulas up to 1-ulp
+    rounding (all score parity tests use tolerances far above that)."""
+    if total_len == 0:
+        total_len = 1
+    n = len(log_probs)
+    if n == 0:
+        return 0.0, 0
+    log_thresh = log_floor_thresholds(min_prob_per_base, min_prob_start, lens)
+    from ..native import get_lib
+    if get_lib() is not None:
+        from ..native import reduce_floored_logs
+        s, zero_reads = reduce_floored_logs(log_probs, log_thresh,
+                                            math.log(2 * total_len))
+        return s / n, zero_reads
+    adj = log_probs - math.log(2 * total_len)
+    floored = adj < log_thresh
+    zero_reads = int(np.count_nonzero(floored))
+    return float(np.sum(np.maximum(adj, log_thresh)) / n), zero_reads
 
 
 def get_total_prob(read_probs: np.ndarray, total_len: int,

@@ -156,3 +156,47 @@ def test_coverage_sweep_matches_python():
         exp = _coverage_sweep(events, 300.0, 25.0, 70.0)
         got = native.coverage_sweep(pos, typ, 70.0, 300.0 + 5 * 25.0)
         assert got == exp
+
+
+def test_read_index_build_matches_numpy():
+    """Native one-pass ingestion == the numpy pipeline (pack_kmers_batch,
+    revcomp_kmers, maxhash_of_reads_batch, seed-position precompute)."""
+    from gaml_tpu.index.maxhash import (
+        HASH_XOR, maxhash_of_reads_batch, pack_kmers_batch, revcomp_kmers)
+
+    rng = np.random.default_rng(5)
+    n, L = 300, 80
+    codes = rng.integers(0, 4, (n, L)).astype(np.uint8)
+    codes[7, 3] = 4  # one read with an N
+    codes[100, 0] = 4
+    fp, ok, kmers, rc, seed = native.read_index_build(codes, 15)
+
+    exp_kmers = pack_kmers_batch(codes, 15)
+    np.testing.assert_array_equal(kmers, exp_kmers)
+    exp_rc = revcomp_kmers(exp_kmers, 15)[:, ::-1]
+    np.testing.assert_array_equal(rc, exp_rc)
+    np.testing.assert_array_equal(fp, maxhash_of_reads_batch(codes))
+    exp_ok = ~(codes >= 4).any(axis=1)
+    np.testing.assert_array_equal(ok.astype(bool), exp_ok)
+    # seed positions: first fingerprint k-mer in each orientation
+    hashes = exp_kmers ^ np.uint32(HASH_XOR)
+    target = hashes.max(axis=1) ^ np.uint32(HASH_XOR)
+    target_rc = revcomp_kmers(target, 15)
+    pos_f = np.argmax(exp_kmers == target[:, None], axis=1)
+    pos_r = np.argmax(exp_rc == target_rc[:, None], axis=1)
+    np.testing.assert_array_equal(seed[:, 0], pos_f)
+    np.testing.assert_array_equal(seed[:, 1], pos_r)
+
+
+def test_reduce_floored_logs_matches_numpy():
+    rng = np.random.default_rng(6)
+    for n in (0, 1, 5, 1000):
+        logp = np.log(rng.random(n) * 1e-4 + 1e-30)
+        logp[rng.random(n) < 0.1] = -np.inf
+        logt = -10.0 + -0.7 * rng.integers(50, 150, n).astype(np.float64)
+        c = np.log(2 * 12345.0)
+        s, z = native.reduce_floored_logs(logp, logt, c)
+        adj = logp - c
+        assert z == int(np.count_nonzero(adj < logt))
+        assert s == pytest.approx(float(np.sum(np.maximum(adj, logt))),
+                                  rel=1e-12, abs=1e-12)
