@@ -33,33 +33,46 @@ KMER = 47  # reference hardcodes kmer=47 inside Optimize (gaml.cc:102)
 def _clean_lone_duplicates(paths: List[Path], local_p: Optional[int] = None):
     """Drop single-node walks whose node (or complement) also appears in
     another walk (reference gaml.cc:120-144 / gaml.cc:244-271).  Returns
-    the possibly-adjusted local_p."""
+    the possibly-adjusted local_p.
+
+    The reference removes one walk per full rescan (the LAST matching lone
+    walk), because a removal can turn another lone walk from duplicated to
+    unique.  A removal only decrements its own canonical-node count, so the
+    rescan loop is simulated on a counts table over one flatten: repeatedly
+    take the last lone walk whose canonical count is still > 1."""
+    singles = [i for i, p in enumerate(paths) if len(p) == 1]
+    if not singles:
+        return local_p
+    # entry e lands in locs[e] and locs[e^1]; a lone walk [x] is dropped
+    # iff some OTHER entry e' has e' in {x, x^1}.  A lone walk contributes
+    # exactly one such entry itself: count canonical pairs, test > 1.
+    flat: List[int] = []
+    for p in paths:
+        flat.extend(p)
+    a = np.asarray(flat, dtype=np.int64)
+    keys = np.where(a >= 0, a & ~np.int64(1), np.minimum(a, a ^ 1))
+    uniq, cnts = np.unique(keys, return_counts=True)
+    counts = dict(zip(uniq.tolist(), cnts.tolist()))
+    sk = np.asarray([paths[i][0] for i in singles], dtype=np.int64)
+    skeys = np.where(sk >= 0, sk & ~np.int64(1),
+                     np.minimum(sk, sk ^ 1)).tolist()
+    removed: List[int] = []
+    alive = list(range(len(singles)))
     while True:
-        clean = -1
-        # entry e lands in locs[e] and locs[e^1]; a lone walk [x] is
-        # dropped iff locs[x] holds another walk, i.e. some OTHER entry
-        # e' has e' in {x, x^1}.  A lone walk contributes exactly one
-        # such entry itself, so count canonical pairs and test > 1.
-        singles = [i for i, p in enumerate(paths) if len(p) == 1]
-        if not singles:
+        clean_slot = -1
+        for j in reversed(alive):
+            if counts[skeys[j]] > 1:
+                clean_slot = j
+                break
+        if clean_slot == -1:
             break
-        flat: List[int] = []
-        for p in paths:
-            flat.extend(p)
-        a = np.asarray(flat, dtype=np.int64)
-        keys = np.where(a >= 0, a & ~np.int64(1), np.minimum(a, a ^ 1))
-        uniq, cnts = np.unique(keys, return_counts=True)
-        sk = np.asarray([paths[i][0] for i in singles], dtype=np.int64)
-        skeys = np.where(sk >= 0, sk & ~np.int64(1), np.minimum(sk, sk ^ 1))
-        dup = cnts[np.searchsorted(uniq, skeys)] > 1
-        hits = np.nonzero(dup)[0]
-        if len(hits):
-            clean = singles[int(hits[-1])]  # last matching walk, as before
-        if clean == -1:
-            break
-        if local_p is not None and clean < local_p:
+        counts[skeys[clean_slot]] -= 1
+        alive.remove(clean_slot)
+        removed.append(singles[clean_slot])
+    for idx in sorted(removed, reverse=True):
+        if local_p is not None and idx < local_p:
             local_p -= 1
-        del paths[clean]
+        del paths[idx]
     return local_p
 
 

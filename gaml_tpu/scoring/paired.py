@@ -238,12 +238,10 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
             ctgs_with_st.append((ctg, cur_len))
             cur_len += path_len(graph, ctg)
         # contribution memo: the per-walk (rids, ps, bad) is a pure
-        # function of walk content ONLY while every window of both mates
-        # is already in the alignment caches — the reference's staging
-        # history-dependence (windows skipped by the last_end carry show
-        # up later) lives exactly in the not-fully-cached case, so the
-        # memo keys on the walk-stream memo (which only admits
-        # fully-cached streams) and is bit-exact by construction.
+        # function of walk content for a fixed alignment-cache view; the
+        # view only changes when one of the staged streams' missing
+        # windows becomes cached, which the hit path revalidates through
+        # both mates' walk-stage memos — bit-exact by construction.
         wkey = (False, tuple((tuple(c), st) for c, st in ctgs_with_st))
         mkey = (wkey, float(insert_mean), float(insert_std),
                 float(exp_cov_move), bool(use_all_to_cov),
@@ -253,9 +251,17 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
             memo = read_set1._inc_contrib_memo = {}
         hit = memo.get(mkey)
         if hit is not None:
-            rid_arr, p_arr, bad = hit
-            changes.append((rid_arr, p_arr))
-            return bad
+            # the contribution is valid exactly while both mates' staged
+            # walk streams are — revalidate through their memos
+            wm1 = getattr(read_set1, "_walk_stage_memo", None)
+            wm2 = getattr(read_set2, "_walk_stage_memo", None)
+            if (wm1 is not None and wm2 is not None and
+                    read_set1._memo_lookup(wm1, wkey) is not None and
+                    read_set2._memo_lookup(wm2, wkey) is not None):
+                rid_arr, p_arr, bad = hit
+                changes.append((rid_arr, p_arr))
+                return bad
+            del memo[mkey]
         pool1 = getattr(read_set1, "_collect_pool", None)
         if pool1 is None:
             pool1 = read_set1._collect_pool = [None]

@@ -60,6 +60,7 @@ class ReadSet:
         self.index = None  # ReadIndexMaxHash, built by prepare_read_index
         self.aligner: Optional[SubpathAligner] = None
         self.aligment_cache: Dict[Subpath, List[Alignment]] = {}
+        self.cache_version = 0  # bumped on every alignment-cache insert wave
         self.positions: List[List[Tuple[int, Tuple[int, int]]]] = []
         self.load_success = False
 
@@ -285,6 +286,11 @@ class ReadSet:
         except (OSError, pickle.PickleError):
             return False
         self.aligment_cache = data["cache"]
+        self.cache_version += 1
+        for attr in ("_stage_memo", "_stage_memo_simple", "_walk_stage_memo",
+                     "_precompute_memo", "_inc_contrib_memo"):
+            if hasattr(self, attr):
+                getattr(self, attr).clear()
         self.read_lens = data["read_lens"]
         self.reads_num = data["reads_num"]
         self.read_map = data["read_map"]
@@ -336,7 +342,19 @@ class ReadSet:
         windows and long single nodes (reference graph.cc:447-493; note
         ``last_end`` deliberately carries across walks as in the C++).
         ``keys`` optionally supplies pre-built walk tuples (parallel to
-        ``paths``) so hot callers tuple-ize the walk set only once."""
+        ``paths``) so hot callers tuple-ize the walk set only once.
+
+        Memoization: a walk can be skipped on later calls iff re-scanning
+        it could never insert a window under ANY incoming carry.  Inserts
+        happen only for uncached windows passing the carry test; after this
+        call's insert wave every insertable window of a scanned walk is
+        cached, and windows skipped by the *internal* carry (same cur_end
+        as the previous in-walk window) can never be inserted from this
+        walk.  The only carry-dependent decision is the walk's FIRST
+        window: if it was skipped while uncached (external carry happened
+        to equal its cur_end), a future call with a different predecessor
+        would insert it — such walks are not memoized.  This is exactly
+        the cache evolution of the unmemoized loop."""
         subpaths: Set[Subpath] = set()
         last_end = -1
         memo = getattr(self, "_precompute_memo", None)
@@ -344,43 +362,54 @@ class ReadSet:
             memo = self._precompute_memo = {}
         if len(memo) > 200_000:
             memo.clear()
+        cache = self.aligment_cache
+        node_len = graph.node_len
+        scanned = []
         for pi, path in enumerate(paths):
             pkey = keys[pi] if keys is not None else tuple(path)
             done = memo.get(pkey)
             if done is not None:
-                # all this walk's windows are cached (cache only grows), so
-                # no inserts can happen; thread the exact last_end carry
+                # no inserts possible; thread the exact last_end carry
                 last_end = done
                 continue
-            fully_cached = True
+            memoizable = False  # needs >= 1 non-gap entry (else the
+            # stored last_end would be the carried-in one — content-free)
+            first = True
             for i in range(len(path)):
                 if path[i] < 0:
                     continue
                 cur_seq, cur_end = self._window_at(path, i, graph, stop_at_gap=True)
                 key = tuple(cur_seq)
-                if key not in self.aligment_cache:
-                    fully_cached = False
+                if key not in cache:
                     if (last_end != cur_end or
                             (len(cur_seq) == 1 and
-                             graph.node_len(cur_seq[0]) > 150)):
+                             node_len(cur_seq[0]) > 150)):
                         subpaths.add(key)
                         subpaths.add(tuple(invert_path(cur_seq)))
-                if graph.node_len(path[i]) > K_MIN_SUBPATH_LENGTH:
-                    if (path[i],) not in self.aligment_cache:
-                        fully_cached = False
+                    elif first:
+                        memoizable = None  # carry-skipped uncached first window
+                if node_len(path[i]) > K_MIN_SUBPATH_LENGTH:
+                    if (path[i],) not in cache:
                         subpaths.add((path[i],))
                         subpaths.add((path[i] ^ 1,))
                 last_end = cur_end
-            if fully_cached:
-                memo[pkey] = last_end
+                if memoizable is False:
+                    memoizable = True
+                first = False
+            if memoizable:
+                scanned.append((pkey, last_end))
         if subpaths:
             self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
+        for pkey, le in scanned:
+            memo[pkey] = le
 
     def precompute_alignment_for_subpaths(self, graph,
                                           subpaths: Sequence[Subpath]) -> None:
         """Reference PrecomputeAligmentForSubpaths (graph.cc:911-922,
         internal-aligner branch).  The device backend batches every window
         into one kernel call."""
+        if subpaths:
+            self.cache_version += 1
         for sp in subpaths:
             self.aligment_cache[sp] = _EMPTY_COLUMNS
         if self.backend == "device" and len(subpaths) > 1:
@@ -523,17 +552,36 @@ class ReadSet:
             cur_pos += graph.node_len(path[i])
             max_pos = max(max_pos, cur_max_pos)
 
+    def _memo_lookup(self, memo, key):
+        """Validated lookup for cache-derived memo entries
+        ``[result, version, missing_keys]``: a stream built while some
+        windows were uncached stays correct exactly until one of those
+        windows becomes cached (cache values are immutable and the cache
+        only grows).  Same-version hits are O(1); after an insert wave the
+        (usually tiny) missing list is rechecked and the stamp refreshed."""
+        entry = memo.get(key)
+        if entry is None:
+            return None
+        if entry[1] != self.cache_version:
+            cache = self.aligment_cache
+            for k in entry[2]:
+                if k in cache:
+                    del memo[key]
+                    return None
+            entry[1] = self.cache_version
+        return entry[0]
+
     def _stage_ctg(self, graph, ctg):
         """Per-contig window stream (relative coordinates) for the native
-        collect kernel; memoized once every window of the contig is cached
-        (cache values are immutable and the cache only grows)."""
+        collect kernel; memoized with missing-window validation
+        (_memo_lookup)."""
         memo = getattr(self, "_stage_memo", None)
         if memo is None:
             memo = self._stage_memo = {}
         if len(memo) > 100_000:
             memo.clear()
         ckey = tuple(ctg)
-        hit = memo.get(ckey)
+        hit = self._memo_lookup(memo, ckey)
         if hit is not None:
             return hit
 
@@ -547,9 +595,9 @@ class ReadSet:
         w_curpos: List[int] = []
         w_group: List[int] = []
         cols: List = []
+        missing: List[Subpath] = []
         total = 0
         cur_pos = 0
-        all_cached = True
         for i in range(len(ctg)):
             cur_seq, _ = self._window_at(ctg, i, graph, stop_at_gap=False)
             seqs = [cur_seq]
@@ -558,7 +606,7 @@ class ReadSet:
             for seq in seqs:
                 key = tuple(seq)
                 if key not in self.aligment_cache:
-                    all_cached = False
+                    missing.append(key)
                 ac = self.get_alignment_for_subpath(key)
                 w_off.append(total)
                 w_len.append(len(ac))
@@ -580,8 +628,7 @@ class ReadSet:
                 np.array(w_curpos, dtype=np.int32),
                 np.array(w_group, dtype=np.int32))
         result = (meta, flat)
-        if all_cached:
-            memo[ckey] = result
+        memo[ckey] = [result, self.cache_version, missing]
         return result
 
     def _stage_ctg_simple(self, graph, ctg):
@@ -594,7 +641,7 @@ class ReadSet:
         if len(memo) > 100_000:
             memo.clear()
         ckey = tuple(ctg)
-        hit = memo.get(ckey)
+        hit = self._memo_lookup(memo, ckey)
         if hit is not None:
             return hit
         subpaths: Set[Subpath] = set()
@@ -606,14 +653,14 @@ class ReadSet:
         w_curpos: List[int] = []
         w_group: List[int] = []
         cols: List = []
+        missing: List[Subpath] = []
         total = 0
         cur_pos = 0
-        all_cached = True
         for i in range(len(ctg)):
             cur_seq, _ = self._window_at(ctg, i, graph, stop_at_gap=False)
             key = tuple(cur_seq)
             if key not in self.aligment_cache:
-                all_cached = False
+                missing.append(key)
             ac = self.get_alignment_for_subpath(key)
             w_off.append(total)
             w_len.append(len(ac))
@@ -635,8 +682,7 @@ class ReadSet:
                 np.array(w_curpos, dtype=np.int32),
                 np.array(w_group, dtype=np.int32))
         result = (meta, flat)
-        if all_cached:
-            memo[ckey] = result
+        memo[ckey] = [result, self.cache_version, missing]
         return result
 
     def stage_position_windows(self, graph, ctgs_with_st, simple: bool = False):
@@ -647,19 +693,20 @@ class ReadSet:
         collect_positions kernel.  Runs the same cache precompute.
 
         Whole-walk streams are memoized (keyed on the contig/offset layout)
-        once every underlying window is cached — an erased walk was always
-        staged before as an added walk, so the per-move rescore of large
-        walks avoids re-concatenating megabase streams."""
+        with missing-window validation (_memo_lookup) — an erased walk was
+        always staged before as an added walk, so the per-move rescore of
+        large walks avoids re-concatenating megabase streams."""
         wkey = (simple, tuple((tuple(c), st) for c, st in ctgs_with_st))
         wmemo = getattr(self, "_walk_stage_memo", None)
         if wmemo is None:
             wmemo = self._walk_stage_memo = {}
-        hit = wmemo.get(wkey)
+        hit = self._memo_lookup(wmemo, wkey)
         if hit is not None:
             return hit
         metas = []
         flats = []
         group_base = 0
+        version_at_start = self.cache_version
         stage = self._stage_ctg_simple if simple else self._stage_ctg
         for ci, (ctg, st) in enumerate(ctgs_with_st):
             (w_off, w_len, w_curpos, w_group), flat = stage(graph, ctg)
@@ -685,16 +732,25 @@ class ReadSet:
                     np.concatenate([m[4] for m in metas]))
         flat_out = tuple(np.concatenate([f[k] for f in flats])
                          for k in range(4))
-        # memoize the assembled stream once every contig's windows are
-        # cached (checked against the ctg-level memos, which only admit
-        # fully-cached contigs)
+        # memoize the assembled stream, carrying the union of the contig
+        # streams' missing windows for validation
         ctg_memo = getattr(self,
                            "_stage_memo_simple" if simple else "_stage_memo",
                            None) or {}
-        if all(tuple(c) in ctg_memo for c, _ in ctgs_with_st):
-            if len(wmemo) > 512:
-                wmemo.clear()
-            wmemo[wkey] = (meta_out, flat_out)
+        # an insert wave during staging could have invalidated an
+        # earlier contig's already-read stream — don't memoize then
+        if self.cache_version == version_at_start:
+            missing: List[Subpath] = []
+            for c, _ in ctgs_with_st:
+                entry = ctg_memo.get(tuple(c))
+                if entry is None:
+                    break  # contig stream not memoized (shouldn't happen)
+                missing.extend(entry[2])
+            else:
+                if len(wmemo) > 512:
+                    wmemo.clear()
+                wmemo[wkey] = [(meta_out, flat_out), self.cache_version,
+                               missing]
         return meta_out, flat_out
 
     def get_positions_grouped(self, graph, path: Sequence[int]):
