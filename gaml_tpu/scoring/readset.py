@@ -104,6 +104,17 @@ class ReadSet:
         if self.load_success:
             return
         names, codes = self._load_fastq()
+        if not self.read_map:
+            # bulk path for the common case: fresh map, unique names
+            m = dict(zip(names, range(len(names))))
+            if len(m) == len(names):
+                self.read_map = m
+                self.read_map_inv = dict(zip(range(len(names)), names))
+                self.reads_num = len(names)
+                self.read_lens = [len(c) for c in codes]
+                self.calc_max_read_len()
+                self.load_success = True
+                return
         for name, c in zip(names, codes):
             rid = self.get_read_id(name)
             self.read_lens[rid] = len(c)
@@ -124,12 +135,12 @@ class ReadSet:
 
             self.index = ReadIndexMaxHash()
         names, codes_all = self._load_fastq()
-        codes_list, rid_list = [], []
-        for name, codes in zip(names, codes_all):
-            rid = self.get_read_id(name)
-            self.read_seqs[rid] = codes
-            codes_list.append(codes)
-            rid_list.append(rid)
+        codes_list = list(codes_all)
+        try:
+            rid_list = list(map(self.read_map.__getitem__, names))
+        except KeyError:
+            rid_list = [self.get_read_id(name) for name in names]
+        self.read_seqs.update(zip(rid_list, codes_list))
         self._fastq_cache = None
         if self._prepare_index_native(codes_list, rid_list):
             return
