@@ -23,7 +23,9 @@ def save_checkpoint(optimizer, paths: List[Path], prefix: str) -> str:
         "rng_state": optimizer.rng.state(),
         "scoring_states": [
             {"old_paths": st.old_paths, "bad_bases": st.bad_bases,
-             "probs": st.probs}
+             "probs": (st.device.to_host()
+                       if getattr(st, "device", None) is not None
+                       else st.probs)}
             for st in optimizer.prob_calc.paired_scoring_states
         ],
     }
@@ -46,4 +48,6 @@ def load_checkpoint(optimizer, prefix: str) -> List[Path]:
         st.old_paths = saved["old_paths"]
         st.bad_bases = saved["bad_bases"]
         st.probs = saved["probs"]
+        if getattr(st, "device", None) is not None:
+            st.device.from_host(st.probs)
     return [list(p) for p in state["paths"]]

@@ -69,3 +69,18 @@ class ProbCalculator:
 
     def score(self, paths: Sequence[Sequence[int]]) -> float:
         return self.calc_prob(paths)[0]
+
+    def enable_device_scoring_state(self, mesh) -> None:
+        """Move the paired running per-read totals onto a device mesh
+        (sharded over its "reads" axis).  Opt-in scale path for read sets
+        too large for the per-iteration host reduction; the host arrays
+        stop being maintained (checkpointing gathers from device)."""
+        from ..parallel.device_state import DeviceScoringState
+
+        for (cfg, (rs1, rs2)), st in zip(self.paired_reads,
+                                         self.paired_scoring_states):
+            lens = rs1.read_lens_array() + rs2.read_lens_array()
+            dev = DeviceScoringState(mesh, rs1.get_number_of_reads(), lens)
+            if len(st.probs):
+                dev.from_host(st.probs)
+            st.device = dev

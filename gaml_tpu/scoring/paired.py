@@ -415,7 +415,8 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
     read_set1.precompute_alignment_for_paths(paths, graph, keys=new_tuples)
     read_set2.precompute_alignment_for_paths(paths, graph, keys=new_tuples)
 
-    logp = _state_log_probs(state)
+    device = getattr(state, "device", None)
+    logp = None if device is not None else _state_log_probs(state)
     touched: List[np.ndarray] = []
     for group, sign in ((erased, -1), (added, +1)):
         group_changes: List = []
@@ -427,6 +428,10 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
                 min_prob_start, group_changes)
         state.bad_bases += sign * group_bad
         for rid_arr, p_arr in group_changes:
+            if device is not None:
+                # sharded on-device running totals (opt-in scale path)
+                device.apply(rid_arr, p_arr, sign)
+                continue
             # unbuffered in-order accumulation (np.add.at), matching the
             # reference's sequential probs[read] += p
             np.add.at(state.probs, rid_arr, sign * p_arr)
@@ -439,9 +444,13 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
             logp[rids] = np.where(pos, np.log(np.where(pos, vals, 1.0)),
                                   -np.inf)
 
-    lens = _pair_lens(read_set1, read_set2)
-    score, zero_reads = get_total_prob_from_logs(
-        logp, total, min_prob_per_base, min_prob_start, lens)
+    if device is not None:
+        score, zero_reads = device.reduce(total, min_prob_per_base,
+                                          min_prob_start)
+    else:
+        lens = _pair_lens(read_set1, read_set2)
+        score, zero_reads = get_total_prob_from_logs(
+            logp, total, min_prob_per_base, min_prob_start, lens)
 
     # fold the diff into the persistent caches and store the new walk set
     for key in added:
