@@ -208,6 +208,21 @@ def _coverage_sweep(events: List[Tuple[int, int]], insert_mean: float,
     return bad_bases
 
 
+def _ctg_missing_union(read_set, ctgs_with_st):
+    """Union of the per-contig missing-window lists from the readset's
+    contig stage memo (None if any contig entry is absent)."""
+    memo = getattr(read_set, "_stage_memo", None)
+    if memo is None:
+        return None
+    out: List = []
+    for ctg, _st in ctgs_with_st:
+        entry = memo.get(tuple(ctg))
+        if entry is None:
+            return None
+        out.extend(entry[2])
+    return out
+
+
 def calc_score_for_path_inc(graph, path, read_set1, read_set2,
                             insert_mean: float, insert_std: float,
                             exp_cov_move: float, use_all_to_cov: bool,
@@ -240,8 +255,10 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
         # contribution memo: the per-walk (rids, ps, bad) is a pure
         # function of walk content for a fixed alignment-cache view; the
         # view only changes when one of the staged streams' missing
-        # windows becomes cached, which the hit path revalidates through
-        # both mates' walk-stage memos — bit-exact by construction.
+        # windows becomes cached, so the entry carries both mates'
+        # missing-window lists and revalidates them directly against the
+        # caches (version-stamped fast path) — bit-exact by construction
+        # and independent of walk-stage-memo eviction.
         wkey = (False, tuple((tuple(c), st) for c, st in ctgs_with_st))
         mkey = (wkey, float(insert_mean), float(insert_std),
                 float(exp_cov_move), bool(use_all_to_cov),
@@ -251,17 +268,20 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
             memo = read_set1._inc_contrib_memo = {}
         hit = memo.get(mkey)
         if hit is not None:
-            # the contribution is valid exactly while both mates' staged
-            # walk streams are — revalidate through their memos
-            wm1 = getattr(read_set1, "_walk_stage_memo", None)
-            wm2 = getattr(read_set2, "_walk_stage_memo", None)
-            if (wm1 is not None and wm2 is not None and
-                    read_set1._memo_lookup(wm1, wkey) is not None and
-                    read_set2._memo_lookup(wm2, wkey) is not None):
-                rid_arr, p_arr, bad = hit
-                changes.append((rid_arr, p_arr))
-                return bad
+            ok = True
+            for rs, vi, mi in ((read_set1, 3, 5), (read_set2, 4, 6)):
+                if hit[vi] != rs.cache_version:
+                    cache = rs.aligment_cache
+                    if any(k in cache for k in hit[mi]):
+                        ok = False
+                        break
+                    hit[vi] = rs.cache_version
+            if ok:
+                changes.append((hit[0], hit[1]))
+                return hit[2]
             del memo[mkey]
+        v1 = read_set1.cache_version
+        v2 = read_set2.cache_version
         pool1 = getattr(read_set1, "_collect_pool", None)
         if pool1 is None:
             pool1 = read_set1._collect_pool = [None]
@@ -294,15 +314,19 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
                                np.concatenate([py_typ, ev_typ]),
                                exp_cov_move,
                                insert_mean + 5 * insert_std))
-        wm1 = getattr(read_set1, "_walk_stage_memo", None) or {}
-        wm2 = getattr(read_set2, "_walk_stage_memo", None) or {}
-        if wkey in wm1 and wkey in wm2:
-            budget = getattr(read_set1, "_inc_contrib_entries", 0)
-            if budget > 30_000_000:
-                memo.clear()
-                budget = 0
-            read_set1._inc_contrib_entries = budget + len(p_arr)
-            memo[mkey] = (rid_arr, p_arr, bad)
+        # store only when no insert wave ran during staging (the streams
+        # were all read at versions v1/v2) and both mates' per-contig
+        # missing lists are available for future validation
+        if read_set1.cache_version == v1 and read_set2.cache_version == v2:
+            m1 = _ctg_missing_union(read_set1, ctgs_with_st)
+            m2 = _ctg_missing_union(read_set2, ctgs_with_st)
+            if m1 is not None and m2 is not None:
+                budget = getattr(read_set1, "_inc_contrib_entries", 0)
+                if budget > 30_000_000:
+                    memo.clear()
+                    budget = 0
+                read_set1._inc_contrib_entries = budget + len(p_arr)
+                memo[mkey] = [rid_arr, p_arr, bad, v1, v2, m1, m2]
         return bad
 
     positions1: Dict[int, list] = {}

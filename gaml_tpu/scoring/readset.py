@@ -758,8 +758,11 @@ class ReadSet:
                     break  # contig stream not memoized (shouldn't happen)
                 missing.extend(entry[2])
             else:
-                if len(wmemo) > 512:
+                budget = getattr(self, "_walk_stage_elems", 0)
+                if budget > 40_000_000:  # ~640 MB of column data
                     wmemo.clear()
+                    budget = 0
+                self._walk_stage_elems = budget + 4 * len(flat_out[0])
                 wmemo[wkey] = [(meta_out, flat_out), self.cache_version,
                                missing]
         return meta_out, flat_out
