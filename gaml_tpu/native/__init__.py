@@ -126,6 +126,13 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.banded_forward_host.restype = None
+        lib.banded_forward_host.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p]
         lib.reduce_floored_logs.restype = ctypes.c_double
         lib.reduce_floored_logs.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
@@ -372,6 +379,30 @@ def read_index_build(codes_mat: np.ndarray, k: int = 15):
         lib.read_index_build(_ptr(codes_mat), n, L, k, _ptr(fp), _ptr(ok),
                              _ptr(kmers), _ptr(rc), _ptr(seed))
     return fp, ok, kmers, rc, seed
+
+
+def banded_forward_host(genome: np.ndarray, reads: np.ndarray,
+                        rlens: np.ndarray, centers: np.ndarray,
+                        gstarts: np.ndarray, glens: np.ndarray,
+                        log_match: float, log_mismatch: float,
+                        width: int) -> np.ndarray:
+    """Host banded forward DP (same band semantics as ops.forward.
+    banded_forward; double accumulation).  Returns logprob [B]."""
+    lib = get_lib()
+    assert lib is not None
+    genome = np.ascontiguousarray(genome, dtype=np.uint8)
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    rlens = np.ascontiguousarray(rlens, dtype=np.int32)
+    centers = np.ascontiguousarray(centers, dtype=np.int32)
+    gstarts = np.ascontiguousarray(gstarts, dtype=np.int32)
+    glens = np.ascontiguousarray(glens, dtype=np.int32)
+    b, rmax = reads.shape
+    out = np.zeros(b, dtype=np.float64)
+    lib.banded_forward_host(_ptr(genome), len(genome), _ptr(reads), rmax,
+                            _ptr(rlens), _ptr(centers), _ptr(gstarts),
+                            _ptr(glens), b, int(width), float(log_match),
+                            float(log_mismatch), _ptr(out))
+    return out
 
 
 def reduce_floored_logs(logp: np.ndarray, logt: np.ndarray,

@@ -951,6 +951,70 @@ void read_index_build(const uint8_t* codes, int64_t n, int32_t L, int32_t k,
   }
 }
 
+// Banded log-space forward DP, host variant of ops/forward.py's
+// banded_forward (same band semantics: clipped guide steps in {0,1,2},
+// fixed-width window, free start, mass at read end).  Small long-read
+// batches don't amortize an accelerator dispatch — this runs them on the
+// host (double accumulation; agrees with the f32 device kernel to ~1e-5).
+static inline double ladd(double a, double b) {
+  if (a < b) { double t = a; a = b; b = t; }
+  if (b <= -1e29) return a;
+  return a + log1p(exp(b - a));
+}
+
+void banded_forward_host(const uint8_t* genome, int64_t glen_total,
+                         const uint8_t* reads, int64_t rmax,
+                         const int32_t* rlens, const int32_t* centers,
+                         const int32_t* gstarts, const int32_t* glens,
+                         int64_t b, int32_t width, double log_match,
+                         double log_mismatch, double* out) {
+  const double NEG = -1e30;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t i = 0; i < b; i++) {
+    int32_t rlen = rlens[i];
+    if (rlen <= 0) { out[i] = NEG; continue; }
+    const uint8_t* read = reads + i * rmax;
+    const int32_t* ctr = centers + i * (rmax + 1);
+    int64_t gstart = gstarts[i], gend = (int64_t)gstarts[i] + glens[i];
+    std::vector<double> m(width), x(width);
+    int64_t base = (int64_t)ctr[0] - width / 2;
+    for (int32_t o = 0; o < width; o++) {
+      int64_t g = base + o;
+      m[o] = (g >= gstart && g < gend) ? 0.0 : NEG;
+    }
+    auto g_at = [&](int64_t idx) -> int {
+      return (idx >= 0 && idx < glen_total) ? genome[idx] : 9;
+    };
+    for (int32_t j = 1; j <= rlen && j <= rmax; j++) {
+      int32_t delta = ctr[j] - ctr[j - 1];
+      if (delta < 0) delta = 0;
+      if (delta > 2) delta = 2;
+      base += delta;
+      int rchar = read[j - 1];
+      double run = NEG;  // x[o-1]
+      for (int32_t o = 0; o < width; o++) {
+        int64_t g = base + o;
+        bool in_t = (g >= gstart && g < gend);
+        int gd = g_at(g - 1);
+        double up = (o + delta < width) ? m[o + delta] : NEG;
+        double diag = (o + delta - 1 >= 0 && o + delta - 1 < width)
+                          ? m[o + delta - 1] : NEG;
+        double s_diag = (gd >= 8) ? NEG
+                        : (gd == rchar ? log_match : log_mismatch);
+        double base_val = in_t ? ladd(diag + s_diag, up + log_mismatch)
+                               : NEG;
+        double gap_cost = (in_t && gd < 8) ? log_mismatch : NEG;
+        run = ladd(base_val, run + gap_cost);
+        x[o] = run;
+      }
+      std::swap(m, x);
+    }
+    double acc = NEG;
+    for (int32_t o = 0; o < width; o++) acc = ladd(acc, m[o]);
+    out[i] = acc;
+  }
+}
+
 // Floored mean-log reduction from cached per-read log probabilities
 // (reference GetTotalProb, graph.cc:1495-1516, evaluated in log space):
 // score_sum = sum_i max(logp[i] - log2len, logt[i]), zeros = count of

@@ -237,10 +237,12 @@ class PacbioReadSet:
                         self.anchors_end.setdefault(nid, set()).add(rid)
 
     # ----------------------------------------------------- alignment (slow)
-    def _forward_batch(self, seq: np.ndarray, jobs):
+    def _forward_batch(self, seq: np.ndarray, jobs, extents=None):
         """jobs: list of (read codes, centers).  Returns logprobs list.
-        Dispatches to the Pallas TPU kernel on accelerator backends, the
-        jnp kernel elsewhere."""
+        ``extents`` optionally gives each job's (gstart, glen) target span
+        inside ``seq`` (for batching jobs over several concatenated
+        targets); default = the whole buffer.  Dispatches to the Pallas
+        TPU kernel on accelerator backends, the jnp kernel elsewhere."""
         if not jobs:
             return []
         import jax
@@ -257,16 +259,41 @@ class PacbioReadSet:
             rlens[i] = len(r)
             centers[i, :len(c)] = c
             centers[i, len(c):] = c[-1]
+        if extents is None:
+            gstarts = np.zeros(b, dtype=np.int32)
+            glens = np.full(b, len(seq), dtype=np.int32)
+        else:
+            gstarts = np.array([e[0] for e in extents], dtype=np.int32)
+            glens = np.array([e[1] for e in extents], dtype=np.int32)
 
-        use_pallas = jax.devices()[0].platform not in ("cpu",) and \
-            self.forward_width in (0, 64, 128)
+        # Small batches don't amortize an accelerator dispatch (with a
+        # remote/tunneled chip each call costs tens of ms); run them on the
+        # host with the native C++ kernel (same band semantics, double
+        # accumulation — agrees with the f32 device kernel to ~1e-5).
+        # Threshold in DP cells, overridable via GAML_PB_DEVICE_MIN_CELLS.
+        width = self.forward_width or 64
+        cells = int(rlens.sum()) * width
+        min_cells = int(__import__("os").environ.get(
+            "GAML_PB_DEVICE_MIN_CELLS", 20_000_000))
+        accel = jax.devices()[0].platform not in ("cpu",)
+        if accel and cells < min_cells:
+            from ..native import get_lib
+
+            if get_lib() is not None:
+                from ..native import banded_forward_host
+
+                out = banded_forward_host(
+                    seq, reads, rlens, centers, gstarts, glens,
+                    float(np.log(self.match_prob)),
+                    float(np.log(self.mismatch_prob)), width)
+                return [float(x) for x in out]
+
+        use_pallas = accel and self.forward_width in (0, 64, 128)
         if use_pallas:
             from ..ops.forward_pallas import banded_forward_pallas
 
             out = banded_forward_pallas(
-                seq, reads, rlens, centers,
-                np.zeros(b, dtype=np.int32),
-                np.full(b, len(seq), dtype=np.int32),
+                seq, reads, rlens, centers, gstarts, glens,
                 float(np.log(self.match_prob)),
                 float(np.log(self.mismatch_prob)), rmax)
             return [float(x) for x in out]
@@ -276,8 +303,7 @@ class PacbioReadSet:
         out = banded_forward(
             jnp.asarray(seq), jnp.asarray(reads), jnp.asarray(rlens),
             jnp.asarray(centers),
-            jnp.zeros(b, dtype=jnp.int32),
-            jnp.full(b, len(seq), dtype=jnp.int32),
+            jnp.asarray(gstarts), jnp.asarray(glens),
             float(np.log(self.match_prob)), float(np.log(self.mismatch_prob)),
             rmax, self.forward_width)
         return [float(x) for x in np.asarray(out)]
@@ -301,14 +327,14 @@ class PacbioReadSet:
         seq = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
         return seq, begins, ends
 
-    def get_read_probabilities_slow(self, graph, path: Sequence[int],
-                                    save_to_cache: bool = True):
-        """Align anchored reads to the spelled sub-walk and cache per-subpath
-        alignments (reference GetReadProbabilitiesSlow, graph.cc:2650-2795).
-        Returns (positions, total_len): positions[rid] = [(tstart, logprob)].
-        """
+    def _slow_prepare(self, graph, path: Sequence[int],
+                      save_to_cache: bool = True):
+        """First half of GetReadProbabilitiesSlow (graph.cc:2650-2795):
+        spell the sub-walk, reserve cache windows, seed+chain the anchored
+        reads, and build the forward-DP job list — everything except the
+        device call, so several ranges can share one batch."""
         seq, begins, ends = self._spell_with_positions(graph, path)
-        total_len = len(seq)
+        path = list(path)
 
         read_filter: Set[int] = set()
         for e in path:
@@ -334,7 +360,6 @@ class PacbioReadSet:
                     if ends[j] - begins[i] - (ends[i] - begins[i]) > self.max_read_len:
                         break
 
-        positions: List[List[Tuple[int, float]]] = [[] for _ in range(self.reads_num)]
         jobs = []
         meta = []
         from ..align.longread import SortedKmerIndex
@@ -348,25 +373,87 @@ class PacbioReadSet:
                 centers = guide_path(chain, len(q), len(seq))
                 jobs.append((q, centers))
                 meta.append((rid, chain))
-        logprobs = self._forward_batch(seq, jobs)
-        for (rid, chain), lp in zip(meta, logprobs):
-            tstart = max(0, chain.tstart - chain.qstart)
-            tend = min(total_len, chain.tend + (self.read_lens[rid] - chain.qend))
-            positions[rid].append((tstart, lp))
-            if save_to_cache:
-                import bisect
+        return dict(seq=seq, begins=begins, ends=ends, path=path,
+                    subpath_starts=subpath_starts, dont_save=dont_save,
+                    jobs=jobs, meta=meta, save_to_cache=save_to_cache)
 
+    def _slow_apply(self, prep, logprobs):
+        """Second half of GetReadProbabilitiesSlow: record positions and
+        append the cached per-subpath alignments."""
+        import bisect
+
+        path = prep["path"]
+        begins, ends = prep["begins"], prep["ends"]
+        total_len = len(prep["seq"])
+        positions: List[List[Tuple[int, float]]] = \
+            [[] for _ in range(self.reads_num)]
+        for (rid, chain), lp in zip(prep["meta"], logprobs):
+            tstart = max(0, chain.tstart - chain.qstart)
+            tend = min(total_len,
+                       chain.tend + (self.read_lens[rid] - chain.qend))
+            positions[rid].append((tstart, lp))
+            if prep["save_to_cache"]:
                 it_begin = bisect.bisect_left(ends, max(0, tstart - 5))
-                it_end = bisect.bisect_left(
-                    ends, min(tend + 5, total_len))
+                it_end = bisect.bisect_left(ends, min(tend + 5, total_len))
                 it_begin = min(it_begin, len(path) - 1)
                 it_end = min(it_end, len(path) - 1)
                 key = tuple(path[it_begin:it_end + 1])
                 pos_begin = begins[it_begin]
-                if subpath_starts.get(key) == it_begin and key not in dont_save:
+                if prep["subpath_starts"].get(key) == it_begin and \
+                        key not in prep["dont_save"]:
                     self.aligment_cache[key].append(PacbioAlignment(
                         tstart - pos_begin, tend - pos_begin, rid, lp))
         return positions, total_len
+
+    def get_read_probabilities_slow(self, graph, path: Sequence[int],
+                                    save_to_cache: bool = True):
+        """Align anchored reads to the spelled sub-walk and cache per-subpath
+        alignments (reference GetReadProbabilitiesSlow, graph.cc:2650-2795).
+        Returns (positions, total_len): positions[rid] = [(tstart, logprob)].
+        """
+        prep = self._slow_prepare(graph, path, save_to_cache)
+        logprobs = self._forward_batch(prep["seq"], prep["jobs"])
+        return self._slow_apply(prep, logprobs)
+
+    def _fill_missing_ranges(self, graph, path, missing) -> None:
+        """Merge overlapping missing (i, j) windows into ranges (reference
+        graph.cc:2456-2476) and fill them — all ranges share ONE forward-DP
+        device batch: the kernel takes concatenated targets with per-job
+        extents, so the per-call (tunnel) latency is paid once per rescore."""
+        missing.sort()
+        ranges = []
+        last_end = -47
+        last_begin = -47
+        for a, b in missing:
+            if a > last_end:
+                if last_end != -47:
+                    ranges.append((last_begin, last_end))
+                last_begin, last_end = a, b
+            last_end = max(last_end, b)
+        if last_end != -47:
+            ranges.append((last_begin, last_end))
+        preps = [self._slow_prepare(graph, path[a:b + 1]) for a, b in ranges]
+        if len(preps) == 1:
+            prep = preps[0]
+            self._slow_apply(prep, self._forward_batch(prep["seq"],
+                                                       prep["jobs"]))
+            return
+        bufs, all_jobs, extents, counts = [], [], [], []
+        off = 0
+        for prep in preps:
+            seq = prep["seq"]
+            for q, centers in prep["jobs"]:
+                all_jobs.append((q, [c + off for c in centers]))
+                extents.append((off, len(seq)))
+            counts.append(len(prep["jobs"]))
+            bufs.append(seq)
+            off += len(seq)
+        buf = np.concatenate(bufs) if bufs else np.zeros(0, dtype=np.uint8)
+        logprobs = self._forward_batch(buf, all_jobs, extents)
+        at = 0
+        for prep, k in zip(preps, counts):
+            self._slow_apply(prep, logprobs[at:at + k])
+            at += k
 
     # --------------------------------------------------- cached positions
     def get_read_probabilities(self, graph, path: Sequence[int]):
@@ -397,19 +484,7 @@ class PacbioReadSet:
                 if ends[j] - begins[i] - (ends[i] - begins[i]) > self.max_read_len:
                     break
         if missing:
-            missing.sort()
-            last_end = -47
-            last_begin = -47
-            for a, b in missing:
-                if a > last_end:
-                    if last_end != -47:
-                        self.get_read_probabilities_slow(
-                            graph, path[last_begin:last_end + 1])
-                    last_begin, last_end = a, b
-                last_end = max(last_end, b)
-            if last_end != -47:
-                self.get_read_probabilities_slow(
-                    graph, path[last_begin:last_end + 1])
+            self._fill_missing_ranges(graph, path, missing)
 
         self.positions2 = [[] for _ in range(self.reads_num)]
         for key, i in subpaths:
@@ -455,19 +530,7 @@ class PacbioReadSet:
                 if ends[j] - begins[i] - (ends[i] - begins[i]) > self.max_read_len:
                     break
         if missing:
-            missing.sort()
-            last_end = -47
-            last_begin = -47
-            for a, b in missing:
-                if a > last_end:
-                    if last_end != -47:
-                        self.get_read_probabilities_slow(
-                            graph, path[last_begin:last_end + 1])
-                    last_begin, last_end = a, b
-                last_end = max(last_end, b)
-            if last_end != -47:
-                self.get_read_probabilities_slow(
-                    graph, path[last_begin:last_end + 1])
+            self._fill_missing_ranges(graph, path, missing)
 
         positions: List[List[Tuple[int, float]]] = \
             [[] for _ in range(self.reads_num)]

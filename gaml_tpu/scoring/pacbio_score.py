@@ -13,10 +13,24 @@ from ..core.logprob import logadd
 def add_positions_to_read_probs(positions2, read_probs: np.ndarray) -> None:
     """read_probs[i] (log) += sum of hit masses (reference
     AddPositionsToReadProbsPacbio, graph.cc:3052-3060) — left-fold logadd
-    in list order like the logdouble accumulation."""
+    in list order like the logdouble accumulation.  Scalar math fast path
+    (same libm calls as the numpy logadd, so bit-identical)."""
+    import math
+
+    inf = math.inf
     for i, plist in enumerate(positions2):
+        if not plist:
+            continue
+        a = float(read_probs[i])
         for _span, lp in plist:
-            read_probs[i] = float(logadd(read_probs[i], lp))
+            b = float(lp)
+            if a == -inf:
+                a = b
+            elif b != -inf:
+                if a < b:
+                    a, b = b, a
+                a = a + math.log1p(math.exp(b - a))
+        read_probs[i] = a
 
 
 def get_total_prob_pacbio(read_probs: np.ndarray, total_len: int, read_set,

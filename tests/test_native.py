@@ -200,3 +200,37 @@ def test_reduce_floored_logs_matches_numpy():
         assert z == int(np.count_nonzero(adj < logt))
         assert s == pytest.approx(float(np.sum(np.maximum(adj, logt))),
                                   rel=1e-12, abs=1e-12)
+
+
+def test_banded_forward_host_matches_jnp():
+    """Native host banded forward == the jnp kernel (same band), ~1e-5."""
+    import jax.numpy as jnp
+
+    from gaml_tpu.ops.forward import banded_forward
+
+    rng = np.random.default_rng(21)
+    glen, b, rmax, width = 700, 5, 256, 64
+    genome = rng.integers(0, 4, glen).astype(np.uint8)
+    reads = np.full((b, rmax), 6, dtype=np.uint8)
+    rlens = np.zeros(b, dtype=np.int32)
+    centers = np.zeros((b, rmax + 1), dtype=np.int32)
+    gstarts = np.zeros(b, dtype=np.int32)
+    glens = np.full(b, glen, dtype=np.int32)
+    for i in range(b):
+        L = int(rng.integers(50, rmax))
+        start = int(rng.integers(0, glen - L))
+        r = genome[start:start + L].copy()
+        errs = rng.random(L) < 0.1
+        r[errs] = (r[errs] + 1) % 4
+        reads[i, :L] = r
+        rlens[i] = L
+        c = start + np.arange(rmax + 1)
+        centers[i] = np.minimum(c, glen - 1)
+    lm, lx = float(np.log(0.85)), float(np.log(0.05))
+    host = native.banded_forward_host(genome, reads, rlens, centers,
+                                      gstarts, glens, lm, lx, width)
+    dev = np.asarray(banded_forward(
+        jnp.asarray(genome), jnp.asarray(reads), jnp.asarray(rlens),
+        jnp.asarray(centers), jnp.asarray(gstarts), jnp.asarray(glens),
+        lm, lx, rmax, width))
+    np.testing.assert_allclose(host, dev, rtol=2e-4, atol=1e-3)
