@@ -49,7 +49,10 @@ class SortedKmerIndex:
         """(tpos, qpos) int64 arrays of exact k-mer matches."""
         from ..index.maxhash import pack_kmers
 
-        qk = pack_kmers(query, self.k)
+        return self.hits_kmers(pack_kmers(query, self.k))
+
+    def hits_kmers(self, qk: np.ndarray):
+        """hits() from pre-packed query k-mers."""
         if len(qk) == 0 or len(self.sorted_vals) == 0:
             return (np.zeros(0, np.int64), np.zeros(0, np.int64))
         left = np.searchsorted(self.sorted_vals, qk, "left")
@@ -64,6 +67,38 @@ class SortedKmerIndex:
                np.repeat(offsets, counts) + np.repeat(left, counts))
         tpos = self.order[idx]
         return tpos, qpos
+
+    def hits_batch_kmers(self, qks):
+        """Per-query (tpos, qpos) for many pre-packed k-mer arrays with ONE
+        searchsorted pair over the concatenation — identical outputs (and
+        per-query hit order) to calling hits_kmers per query."""
+        spans = []
+        at = 0
+        for qk in qks:
+            spans.append((at, at + len(qk)))
+            at += len(qk)
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        if at == 0 or len(self.sorted_vals) == 0:
+            return [empty for _ in qks]
+        allqk = np.concatenate(qks)
+        left = np.searchsorted(self.sorted_vals, allqk, "left")
+        right = np.searchsorted(self.sorted_vals, allqk, "right")
+        counts = np.minimum(right - left, MAX_KMER_OCC)
+        total = int(counts.sum())
+        if total == 0:
+            return [empty for _ in qks]
+        qpos = np.repeat(np.arange(at, dtype=np.int64), counts)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = (np.arange(total, dtype=np.int64) -
+               np.repeat(offsets, counts) + np.repeat(left, counts))
+        tpos = self.order[idx]
+        # qpos ascends globally; split at the query boundaries
+        bounds = np.searchsorted(qpos, [s for s, _e in spans] + [at])
+        out = []
+        for i, (s, _e) in enumerate(spans):
+            a, b = int(bounds[i]), int(bounds[i + 1])
+            out.append((tpos[a:b], qpos[a:b] - s))
+        return out
 
 
 def _kmer_hits(target: np.ndarray, query: np.ndarray, k: int = SEED_K):

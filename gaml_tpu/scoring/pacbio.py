@@ -117,6 +117,17 @@ class PacbioReadSet:
         return (0.25 * L * np.log(self.mismatch_prob) +
                 0.75 * L * np.log(self.match_prob))
 
+    def min_read_probs_array(self) -> np.ndarray:
+        """Cached per-read get_min_read_prob values (read lengths are
+        fixed after ingestion; hot in the scorer's position filter)."""
+        arr = getattr(self, "_min_read_probs", None)
+        if arr is None or len(arr) != self.reads_num:
+            lens = np.asarray(self.read_lens, dtype=np.float64)
+            arr = (0.25 * lens * np.log(self.mismatch_prob) +
+                   0.75 * lens * np.log(self.match_prob))
+            self._min_read_probs = arr
+        return arr
+
     # ----------------------------------------------------------- persistence
     def save_alignments(self, path: Optional[str] = None) -> None:
         with open(path or self.name, "wb") as f:
@@ -245,9 +256,6 @@ class PacbioReadSet:
         TPU kernel on accelerator backends, the jnp kernel elsewhere."""
         if not jobs:
             return []
-        import jax
-        import jax.numpy as jnp
-
         rmax = max(len(r) for r, _c in jobs)
         rmax = ((rmax + 127) // 128) * 128
         b = len(jobs)
@@ -267,16 +275,16 @@ class PacbioReadSet:
             glens = np.array([e[1] for e in extents], dtype=np.int32)
 
         # Small batches don't amortize an accelerator dispatch (with a
-        # remote/tunneled chip each call costs tens of ms); run them on the
-        # host with the native C++ kernel (same band semantics, double
-        # accumulation — agrees with the f32 device kernel to ~1e-5).
-        # Threshold in DP cells, overridable via GAML_PB_DEVICE_MIN_CELLS.
+        # remote/tunneled chip each call costs tens of ms, and even the
+        # lazy jax import pays a client init): run them on the host with
+        # the native C++ kernel (same band semantics, double accumulation
+        # — agrees with the f32 device kernel to ~1e-5), without touching
+        # jax at all.  Threshold in DP cells, GAML_PB_DEVICE_MIN_CELLS.
         width = self.forward_width or 64
         cells = int(rlens.sum()) * width
         min_cells = int(__import__("os").environ.get(
             "GAML_PB_DEVICE_MIN_CELLS", 20_000_000))
-        accel = jax.devices()[0].platform not in ("cpu",)
-        if accel and cells < min_cells:
+        if cells < min_cells:
             from ..native import get_lib
 
             if get_lib() is not None:
@@ -288,6 +296,10 @@ class PacbioReadSet:
                     float(np.log(self.mismatch_prob)), width)
                 return [float(x) for x in out]
 
+        import jax
+        import jax.numpy as jnp
+
+        accel = jax.devices()[0].platform not in ("cpu",)
         use_pallas = accel and self.forward_width in (0, 64, 128)
         if use_pallas:
             from ..ops.forward_pallas import banded_forward_pallas
@@ -362,17 +374,48 @@ class PacbioReadSet:
 
         jobs = []
         meta = []
-        from ..align.longread import SortedKmerIndex
+        from ..align.longread import SortedKmerIndex, chain_hits
 
         seq_index = SortedKmerIndex(seq) if len(seq) >= SEED_K else None
-        for rid in sorted(read_filter):
-            read = self.read_seq[rid]
-            for chain in align_long_read(seq, read, min_seeds=3,
-                                         index=seq_index):
-                q = read if chain.strand == 0 else dna.revcomp(read)
-                centers = guide_path(chain, len(q), len(seq))
-                jobs.append((q, centers))
-                meta.append((rid, chain))
+        rids = [rid for rid in sorted(read_filter)
+                if len(self.read_seq[rid]) >= SEED_K]
+        if seq_index is not None and rids:
+            # one batched index query for all (read, strand) pairs, with
+            # per-read packed k-mers and revcomps cached across rescores;
+            # chain emission order matches align_long_read exactly
+            kcache = getattr(self, "_seed_kmer_cache", None)
+            if kcache is None:
+                kcache = self._seed_kmer_cache = {}
+            from ..index.maxhash import pack_kmers
+
+            qks = []
+            per_read = []
+            for rid in rids:
+                entry = kcache.get(rid)
+                if entry is None:
+                    read = self.read_seq[rid]
+                    rc = dna.revcomp(read)
+                    entry = (read, rc, pack_kmers(read, SEED_K),
+                             pack_kmers(rc, SEED_K))
+                    kcache[rid] = entry
+                per_read.append(entry)
+                qks.append(entry[2])
+                qks.append(entry[3])
+            batch = seq_index.hits_batch_kmers(qks)
+            for i, rid in enumerate(rids):
+                read, rc, _kf, _kr = per_read[i]
+                chains = []
+                for strand, q in ((0, read), (1, rc)):
+                    tpos, qpos = batch[2 * i + strand]
+                    hits = list(zip(tpos.tolist(), qpos.tolist()))
+                    for ch in chain_hits(hits, min_seeds=3):
+                        chains.append(ch._replace(strand=strand))
+                chains.sort(key=lambda c: -c.n_seeds)
+                for chain in chains:
+                    q = read if chain.strand == 0 else rc
+                    centers = guide_path(chain, len(q), len(seq))
+                    jobs.append((q, centers))
+                    meta.append((rid, chain))
         return dict(seq=seq, begins=begins, ends=ends, path=path,
                     subpath_starts=subpath_starts, dont_save=dont_save,
                     jobs=jobs, meta=meta, save_to_cache=save_to_cache)

@@ -86,9 +86,13 @@ def calc_score_for_pacbio(graph, paths: Sequence[Sequence[int]], read_set,
                 else:
                     pp += -e
             positions2, tl = read_set.get_read_probabilities(graph, ctg)
+            min_probs = read_set.min_read_probs_array()
             for i in range(len(positions2)):
+                if not positions2[i]:
+                    continue
+                floor_i = min_probs[i]
                 for (pstart, pend), lp in positions2[i]:
-                    if lp < read_set.get_min_read_prob(i):
+                    if lp < floor_i:
                         continue
                     events.append((pstart, 1))
                     events.append((pend, pstart - pend))
