@@ -89,3 +89,36 @@ def test_optimizer_fuzz_run(tmp_path, seed):
         use_all_to_cov=True, min_prob_per_base=cfg.min_prob_per_base,
         min_prob_start=cfg.min_prob_start)
     assert inc == pytest.approx(ref, abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_optimizer_fuzz_memo_stress(tmp_path, seed, monkeypatch):
+    """Same anneal with the memo budgets forced to thrash (walk-stage memo
+    evicting constantly, contribution memo clearing) must produce the
+    bit-identical trajectory: all memo layers are validated caches, never
+    semantics."""
+    import gaml_tpu.scoring.readset as rsmod
+
+    def run(stress: bool):
+        gr, pc, (cfg, rs1, rs2) = branchy_world(tmp_path, seed=seed,
+                                                n_pairs=80)
+        if stress:
+            for _c, (r1, r2) in pc.paired_reads:
+                r1._inc_contrib_entries = 10**12  # force clears on store
+                r1._walk_stage_elems = 10**12
+                r2._walk_stage_elems = 10**12
+        settings = AssemblySettings(
+            threshold=500, max_iterations=50, seed=7,
+            output_prefix=str(tmp_path / f"ms{int(stress)}"),
+            extendp=20, breakp=20, fixp=10, localp=40, fixlenp=10)
+        opt = Optimizer(gr, pc, settings, longest_read=300,
+                        log=lambda *a: None)
+        start = [[i] for i in range(0, gr.num_nodes, 2)
+                 if gr.node_len(i) > 500]
+        opt.run(start, write_outputs=False)
+        return [(r["itnum"], r["new_prob"], r["n_paths"])
+                for r in opt.history]
+
+    base = run(False)
+    stressed = run(True)
+    assert base == stressed
