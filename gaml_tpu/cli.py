@@ -57,7 +57,12 @@ def starting_paths_from_config(configs, graph, settings):
         else:
             from .graph_from_assembly import get_graph_from_assembly
 
-            paths = get_graph_from_assembly(configs["starting_assembly"], graph)
+            # connect_bootstrap_graph=1 wires edges from the interval
+            # adjacency (the reference leaves the bootstrap graph
+            # edge-less, so reroute/extend moves have nothing to sample)
+            connect = configs.get("connect_bootstrap_graph", "0") == "1"
+            paths = get_graph_from_assembly(configs["starting_assembly"],
+                                            graph, connect=connect)
         from .assembly_import import add_missing_big_nodes, clip_paths
 
         paths = clip_paths(paths, graph)

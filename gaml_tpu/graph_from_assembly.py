@@ -28,6 +28,19 @@ _NORM = {"A": "A", "C": "C", "G": "G", "T": "T",
          "R": "A", "M": "A", "Y": "C", "S": "C", "K": "G", "W": "T"}
 
 
+# contig normalization: mapped IUPAC codes kept, everything else dropped
+# (reference behavior: only _NORM keys survive, graph_from_assembly.cc:51-63)
+_NORM_TRANS = {i: None for i in range(256)}
+_NORM_TRANS.update({ord(c): v for c, v in _NORM.items()})
+
+_RC_TRANS = str.maketrans("ACGT", "TGCA")
+
+
+def _rc_str(s: str) -> str:
+    """Reverse complement of a normalized (ACGT-only) string."""
+    return s.translate(_RC_TRANS)[::-1]
+
+
 class Scaffold:
     """Reference Scaffold (graph_from_assembly.cc:15-78)."""
 
@@ -36,25 +49,25 @@ class Scaffold:
         assert scf[0] not in "Nn"
         self.contigs: List[str] = []
         self.gaps: List[int] = []
-        gap_len = 0
-        buf: List[str] = []
-        for ch in scf:
-            if ch in "Nn":
-                if gap_len == 0:
-                    assert buf
-                    self.contigs.append("".join(buf))
-                    buf = []
-                gap_len += 1
-            else:
-                if gap_len > 0:
-                    assert self.contigs
-                    self.gaps.append(gap_len)
-                    gap_len = 0
-                norm = _NORM.get(ch)
-                if norm is not None:
-                    buf.append(norm)
-        assert buf
-        self.contigs.append("".join(buf))
+        # split at N-runs (a run of g Ns yields g-1 empty split segments),
+        # then normalize each contig via translate — same contigs/gaps as
+        # the reference's per-char loop, including its asserts (non-empty
+        # normalized contigs; scaffolds may not end in N)
+        segs = scf.replace("n", "N").split("N")
+        assert segs[-1] != ""  # reference: `assert buf` at scaffold end
+        empties = 0
+        first = True
+        for seg in segs:
+            if seg == "":
+                empties += 1
+                continue
+            if not first:
+                self.gaps.append(empties + 1)
+            empties = 0
+            first = False
+            contig = seg.translate(_NORM_TRANS)
+            assert contig
+            self.contigs.append(contig)
         assert len(self.gaps) + 1 == len(self.contigs)
         self.contig_paths: List[List[int]] = [[] for _ in self.contigs]
 
@@ -91,6 +104,65 @@ class KmerDB:
         self.big_cons.setdefault(frm, []).append(to)
 
 
+def _kmer_db_python(scaffolds, k: int):
+    """Python fallback of the native kmer_db_build: per-contig id streams,
+    per-id spelled base, ignored mask (reference KmerDB + the ignored rule,
+    graph_from_assembly.cc:86-129, 206-222)."""
+    import numpy as np
+
+    kmerdb = KmerDB()
+    end_markers: Set[int] = set()
+    kid_streams: List[List[List[int]]] = []
+    db = kmerdb.db
+    coords = kmerdb.coords
+    for si, sc in enumerate(scaffolds):
+        sc_streams: List[List[int]] = []
+        kid_streams.append(sc_streams)
+        for ci, c in enumerate(sc.contigs):
+            prev = -1
+            kids: List[int] = []
+            sc_streams.append(kids)
+            n = len(c) - k + 1
+            get = db.get
+            for i in range(n):
+                x = c[i:i + k]
+                kid = get(x)
+                if kid is None:
+                    kid = len(db)
+                    db[x] = kid
+                    coords[kid] = (si, ci, i)
+                    db[_rc_str(x)] = kid + 1
+                    kid = db[x]  # palindrome quirk: rc insert overwrites
+                if prev != -1:
+                    kmerdb.add_con(prev, kid)
+                if i == 0 or i == n - 1:
+                    end_markers.add(kid)
+                    end_markers.add(kid ^ 1)
+                prev = kid
+                kids.append(kid)
+
+    n_ids = len(db)
+    ignored_mask = np.zeros(max(n_ids, 1), dtype=bool)
+    for i in range(n_ids):
+        cons_i = kmerdb.cons.get(i, [])
+        if len(cons_i) == 1 and i not in end_markers:
+            nxt = cons_i[0]
+            if nxt == (i ^ 1):
+                continue
+            if len(kmerdb.cons.get(nxt ^ 1, [])) == 1 and \
+                    nxt not in end_markers:
+                ignored_mask[nxt] = True
+
+    code = {"G": 0, "A": 1, "T": 2, "C": 3}
+    char_of = np.zeros(max(n_ids, 1), dtype=np.uint8)
+    for even, (si, ci, pos) in coords.items():
+        c = scaffolds[si].contigs[ci]
+        char_of[even] = code[c[pos + k - 1]]
+        if even + 1 < n_ids:
+            char_of[even + 1] = 3 - code[c[pos]]
+    return kid_streams, char_of[:max(n_ids, 1)], ignored_mask
+
+
 def get_graph_from_assembly(filename: str, gr: Graph,
                             k: int = K_ASSEMBLY,
                             connect: bool = False) -> List[List[int]]:
@@ -110,71 +182,87 @@ def get_graph_from_assembly(filename: str, gr: Graph,
         scfs.append("".join(buf))
 
     scaffolds = [Scaffold(s) for s in scfs]
-    kmerdb = KmerDB()
-    end_markers: Set[int] = set()
+
+    import numpy as np
+
+    # ---- phase 1: k-mer id streams + per-id spelled base + ignored mask
+    from .native import get_lib
+
+    if get_lib() is not None and k % 2 == 1:
+        from .native import kmer_db_build
+
+        contig_codes = []
+        lens = []
+        for sc in scaffolds:
+            for c in sc.contigs:
+                contig_codes.append(dna.encode_seq(c))
+                lens.append(len(c))
+        ctg_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=ctg_off[1:])
+        buf = (np.concatenate(contig_codes) if contig_codes
+               else np.zeros(0, dtype=np.uint8))
+        streams_flat, char_of, ignored_mask = kmer_db_build(buf, ctg_off, k)
+        ignored_mask = ignored_mask.astype(bool)
+        kid_streams = []
+        at = 0
+        it = iter(lens)
+        for sc in scaffolds:
+            row = []
+            kid_streams.append(row)
+            for _c in sc.contigs:
+                n = max(next(it) - k + 1, 0)
+                row.append(streams_flat[at:at + n])
+                at += n
+    else:
+        kid_streams, char_of, ignored_mask = _kmer_db_python(scaffolds, k)
+
+    # ---- phase 2: collapse ignored interiors into intervals (reference
+    # scan loops, graph_from_assembly.cc:241-279) — vectorized: runs are
+    # the stream slices between consecutive non-ignored positions
+    intervals: Dict[int, np.ndarray] = {}
+    big_cons: List[tuple] = []
+
+    def scan_ids(kids: np.ndarray, record_path: List[int] = None):
+        if len(kids) == 0:
+            return
+        starts = np.nonzero(~ignored_mask[kids])[0]
+        if len(starts) == 0:
+            return  # all ignored: reference's cur never starts
+        firsts = kids[starts].tolist()
+        bounds = starts.tolist() + [len(kids)]
+        for j, f in enumerate(firsts):
+            s, e = bounds[j], bounds[j + 1]
+            old = intervals.get(f)
+            if old is None or e - s > len(old):
+                intervals[f] = kids[s:e]
+        if record_path is not None:
+            record_path.extend(firsts[:-1])
+        for j in range(len(firsts) - 1):
+            big_cons.append((firsts[j], firsts[j + 1]))
 
     for si, sc in enumerate(scaffolds):
-        for ci, c in enumerate(sc.contigs):
-            prev = -1
-            for i in range(len(c) - k + 1):
-                kid = kmerdb.get(c[i:i + k], (si, ci, i))
-                if prev != -1:
-                    kmerdb.add_con(prev, kid)
-                if i == 0 or i + k == len(c):
-                    end_markers.add(kid)
-                    end_markers.add(kid ^ 1)
-                prev = kid
-
-    ignored: Set[int] = set()
-    for i in range(len(kmerdb.db)):
-        cons_i = kmerdb.cons.get(i, [])
-        if len(cons_i) == 1 and i not in end_markers:
-            nxt = cons_i[0]
-            if nxt == (i ^ 1):
-                continue
-            if len(kmerdb.cons.get(nxt ^ 1, [])) == 1 and nxt not in end_markers:
-                ignored.add(nxt)
-
-    intervals: Dict[int, List[int]] = {}
-
-    def scan(c: str, record_path: List[int] = None):
-        cur: List[int] = []
-        for i in range(len(c) - k + 1):
-            kid = kmerdb.get(c[i:i + k])
-            if kid in ignored:
-                if cur:
-                    cur.append(kid)
-            else:
-                if cur:
-                    if cur[0] not in intervals or len(cur) > len(intervals[cur[0]]):
-                        intervals[cur[0]] = list(cur)
-                    kmerdb.add_big_con(cur[0], kid)
-                    if record_path is not None:
-                        record_path.append(cur[0])
-                cur = [kid]
-        if cur:
-            if cur[0] not in intervals or len(cur) > len(intervals[cur[0]]):
-                intervals[cur[0]] = list(cur)
-
-    for sc in scaffolds:
-        for ci, c in enumerate(sc.contigs):
-            scan(c, sc.contig_paths[ci])
-            scan(dna.revcomp_str(c))
+        for ci, _c in enumerate(sc.contigs):
+            kids = np.asarray(kid_streams[si][ci], dtype=np.int32)
+            scan_ids(kids, sc.contig_paths[ci])
+            # rc contig's i-th k-mer is the revcomp of the forward contig's
+            # k-mer at (n-1-i), whose id is the rc-paired id
+            scan_ids(kids[::-1] ^ 1)
 
     # interval invariants (graph_from_assembly.cc:281-287)
     for first, inter in intervals.items():
-        inv = [(x ^ 1) for x in reversed(inter)]
-        assert inv[0] in intervals
-        assert intervals[inv[0]] == inv
+        inv = inter[::-1] ^ 1
+        assert int(inv[0]) in intervals
+        assert np.array_equal(intervals[int(inv[0])], inv)
 
     renumber: Dict[int, int] = {}
     for first, inter in intervals.items():
-        if inter[0] not in renumber:
-            assert (inter[-1] ^ 1) not in renumber
-            assert inter[0] != (inter[-1] ^ 1)
+        a, b = int(inter[0]), int(inter[-1]) ^ 1
+        if a not in renumber:
+            assert b not in renumber
+            assert a != b
             new_id = len(renumber)
-            renumber[inter[0]] = new_id
-            renumber[inter[-1] ^ 1] = new_id + 1
+            renumber[a] = new_id
+            renumber[b] = new_id + 1
 
     n_nodes = len(renumber)
     gr.seqs = [None] * n_nodes
@@ -183,25 +271,20 @@ def get_graph_from_assembly(filename: str, gr: Graph,
     gr.next_sum = [0.0] * n_nodes
     assert n_nodes == len(intervals)
     for first, inter in intervals.items():
-        chars = []
-        for x in inter:
-            if x % 2 == 0:
-                si, ci, pos = kmerdb.coords[x]
-                chars.append(scaffolds[si].contigs[ci][pos + k - 1])
-            else:
-                si, ci, pos = kmerdb.coords[x ^ 1]
-                base = scaffolds[si].contigs[ci][pos]
-                chars.append({"A": "T", "C": "G", "G": "C", "T": "A"}.get(base, base))
-        assert gr.seqs[renumber[inter[0]]] is None
-        gr.seqs[renumber[inter[0]]] = dna.encode_seq("".join(chars))
+        nid = renumber[int(inter[0])]
+        assert gr.seqs[nid] is None
+        gr.seqs[nid] = char_of[inter]
 
     if connect:
-        for frm, tos in kmerdb.big_cons.items():
-            for to in set(tos):
-                if frm in renumber and to in renumber:
-                    a, b = renumber[frm], renumber[to]
-                    if not gr.has_next(a, b):
-                        gr.add_arc(a, b)
+        seen = set()
+        for frm, to in big_cons:
+            if (frm, to) in seen:
+                continue
+            seen.add((frm, to))
+            if frm in renumber and to in renumber:
+                a, b = renumber[frm], renumber[to]
+                if not gr.has_next(a, b):
+                    gr.add_arc(a, b)
 
     gr.calc_prob_sums()
     gr.calc_normalize_map()

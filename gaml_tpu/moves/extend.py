@@ -57,6 +57,10 @@ def _random_walk_extend(path: Path, gr, rng) -> bool:
     exp(-added/1000) (reference moves.cc:583-608).  Returns False when the
     walk is stuck with nothing added."""
     add_length = 0
+    if path[-1] < 0:
+        # walk ends with a scaffold gap: nothing to extend from (the
+        # reference would index reach_big_ with a negative id here — UB)
+        return False
     while True:
         next_cand = list(gr.reach_big[path[-1]].keys())
         if not next_cand and add_length == 0:

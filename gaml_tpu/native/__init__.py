@@ -126,6 +126,17 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.kmer_db_build.restype = ctypes.c_void_p
+        lib.kmer_db_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int32, ctypes.c_int32]
+        lib.kmer_db_n_ids.restype = ctypes.c_int64
+        lib.kmer_db_n_ids.argtypes = [ctypes.c_void_p]
+        lib.kmer_db_stream_size.restype = ctypes.c_int64
+        lib.kmer_db_stream_size.argtypes = [ctypes.c_void_p]
+        lib.kmer_db_copy.restype = None
+        lib.kmer_db_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+        lib.kmer_db_free.restype = None
+        lib.kmer_db_free.argtypes = [ctypes.c_void_p]
         lib.banded_forward_host.restype = None
         lib.banded_forward_host.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -379,6 +390,27 @@ def read_index_build(codes_mat: np.ndarray, k: int = 15):
         lib.read_index_build(_ptr(codes_mat), n, L, k, _ptr(fp), _ptr(ok),
                              _ptr(kmers), _ptr(rc), _ptr(seed))
     return fp, ok, kmers, rc, seed
+
+
+def kmer_db_build(codes: np.ndarray, ctg_off: np.ndarray, k: int):
+    """Native k-mer DB for the assembly->graph bootstrap.  Returns
+    (streams int32 — concatenated per-contig id streams, char_of uint8
+    per id, ignored uint8 per id).  Requires odd k (2-bit palindromes are
+    impossible then, matching the reference db's overwrite quirk only in
+    the case that cannot occur)."""
+    lib = get_lib()
+    assert lib is not None
+    assert k % 2 == 1
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    ctg_off = np.ascontiguousarray(ctg_off, dtype=np.int64)
+    h = lib.kmer_db_build(_ptr(codes), _ptr(ctg_off), len(ctg_off) - 1, k)
+    n_ids = lib.kmer_db_n_ids(h)
+    streams = np.empty(lib.kmer_db_stream_size(h), dtype=np.int32)
+    char_of = np.empty(max(n_ids, 1), dtype=np.uint8)
+    ignored = np.empty(max(n_ids, 1), dtype=np.uint8)
+    lib.kmer_db_copy(h, _ptr(streams), _ptr(char_of), _ptr(ignored))
+    lib.kmer_db_free(h)
+    return streams, char_of[:n_ids], ignored[:n_ids]
 
 
 def banded_forward_host(genome: np.ndarray, reads: np.ndarray,

@@ -951,6 +951,175 @@ void read_index_build(const uint8_t* codes, int64_t n, int32_t L, int32_t k,
   }
 }
 
+// k-mer database build for the assembly->graph bootstrap (reference
+// KmerDB, graph_from_assembly.cc:86-129, driven by the contig loop at
+// graph_from_assembly.cc:150-204).  k-mers (k <= 128) are rolled into
+// 2-bit-packed 4x64-bit keys; ids are assigned in first-occurrence order
+// with the first-seen orientation EVEN and its reverse complement ODD
+// (exactly the reference's db insertion semantics).  Per id the outputs
+// carry the spelled base (last base of the even orientation / complement
+// of its first base for odd), the end-marker flag, and the "ignored"
+// (collapsible interior) flag computed by the reference rule.
+struct KmerDbResult {
+  std::vector<int32_t> streams;   // concatenated per-contig id streams
+  std::vector<uint8_t> char_of;   // per id: spelled base code
+  std::vector<uint8_t> ignored;   // per id
+  int64_t n_ids = 0;
+};
+
+struct K4 {
+  uint64_t w[4];
+  bool operator==(const K4& o) const {
+    return w[0] == o.w[0] && w[1] == o.w[1] && w[2] == o.w[2] &&
+           w[3] == o.w[3];
+  }
+  bool operator<(const K4& o) const {
+    for (int i = 3; i >= 0; i--) {
+      if (w[i] != o.w[i]) return w[i] < o.w[i];
+    }
+    return false;
+  }
+};
+
+static inline uint64_t k4_hash(const K4& k) {
+  uint64_t h = 0x9e3779b97f4a7c15ULL;
+  for (int i = 0; i < 4; i++) {
+    uint64_t x = k.w[i] + h;
+    x ^= x >> 30; x *= 0xbf58476d1ce4e5b9ULL;
+    x ^= x >> 27; x *= 0x94d049bb133111ebULL;
+    x ^= x >> 31;
+    h = x + (h << 6) + (h >> 2);
+  }
+  return h;
+}
+
+void* kmer_db_build(const uint8_t* codes, const int64_t* ctg_off,
+                    int32_t n_ctgs, int32_t k) {
+  auto* res = new KmerDbResult();
+  int64_t total = ctg_off[n_ctgs];
+  // canonical-key table: entry stores the canonical K4, the base (even)
+  // id, and whether the even orientation equals the canonical key
+  int64_t max_kmers = total;  // upper bound on distinct k-mers
+  int64_t cap = 64;
+  while (cap < 2 * max_kmers) cap <<= 1;
+  std::vector<int64_t> slots(cap, -1);
+  struct Entry { K4 key; int32_t base_id; uint8_t even_is_canon; };
+  std::vector<Entry> arena;
+  arena.reserve(max_kmers);
+  // per-id metadata
+  std::vector<uint8_t> char_of;
+  std::vector<uint8_t> endm;
+  // adjacency summary for the ignored rule: distinct-neighbor count
+  // (saturated at 2) and first neighbor
+  std::vector<uint8_t> ncnt;
+  std::vector<int32_t> nfirst;
+  auto grow_id = [&](uint8_t ch_even, uint8_t ch_odd) {
+    char_of.push_back(ch_even);
+    char_of.push_back(ch_odd);
+    endm.push_back(0); endm.push_back(0);
+    ncnt.push_back(0); ncnt.push_back(0);
+    nfirst.push_back(-1); nfirst.push_back(-1);
+  };
+  auto add_con_checked = [&](int32_t frm, int32_t to) {
+    if (ncnt[frm] == 0) { ncnt[frm] = 1; nfirst[frm] = to; }
+    else if (ncnt[frm] == 1 && nfirst[frm] != to) ncnt[frm] = 2;
+  };
+  const int top_shift = 2 * ((k - 1) & 31);
+  const int top_word = (k - 1) >> 5;
+  K4 mask{};
+  for (int i = 0; i < k; i++) {
+    mask.w[i >> 5] |= 3ULL << (2 * (i & 31));
+  }
+  res->streams.reserve(total);
+  for (int32_t ci = 0; ci < n_ctgs; ci++) {
+    const uint8_t* c = codes + ctg_off[ci];
+    int64_t clen = ctg_off[ci + 1] - ctg_off[ci];
+    int64_t n = clen - k + 1;
+    if (n <= 0) continue;
+    K4 kf{}, kr{};
+    int32_t prev = -1;
+    for (int64_t i = 0; i < clen; i++) {
+      // kf = (kf << 2) | c[i], little-endian across words
+      for (int wi = 3; wi > 0; wi--) {
+        kf.w[wi] = (kf.w[wi] << 2) | (kf.w[wi - 1] >> 62);
+      }
+      kf.w[0] = (kf.w[0] << 2) | c[i];
+      // kr = (kr >> 2) | comp << (2*(k-1))
+      for (int wi = 0; wi < 3; wi++) {
+        kr.w[wi] = (kr.w[wi] >> 2) | (kr.w[wi + 1] << 62);
+      }
+      kr.w[3] >>= 2;
+      kr.w[top_word] |= (uint64_t)(3 - c[i]) << top_shift;
+      if (i < k - 1) continue;
+      for (int wi = 0; wi < 4; wi++) kf.w[wi] &= mask.w[wi];
+      const bool fwd_canon = !(kr < kf);
+      const K4& canon = fwd_canon ? kf : kr;
+      uint64_t h = k4_hash(canon);
+      int64_t slot = h & (cap - 1);
+      int32_t kid;
+      while (true) {
+        int64_t e = slots[slot];
+        if (e < 0) {
+          // new k-mer: even id = this (forward) orientation
+          int32_t base = (int32_t)(2 * arena.size());
+          slots[slot] = (int64_t)arena.size();
+          arena.push_back(Entry{canon, base, (uint8_t)fwd_canon});
+          grow_id(c[i], (uint8_t)(3 - c[i - k + 1]));
+          kid = base;
+          break;
+        }
+        const Entry& en = arena[e];
+        if (en.key == canon) {
+          kid = en.base_id +
+                ((fwd_canon == (bool)en.even_is_canon) ? 0 : 1);
+          break;
+        }
+        slot = (slot + 1) & (cap - 1);
+      }
+      int64_t pos = i - k + 1;
+      if (prev != -1) {
+        add_con_checked(prev, kid);
+        add_con_checked(kid ^ 1, prev ^ 1);
+      }
+      if (pos == 0 || pos == n - 1) {
+        endm[kid] = 1;
+        endm[kid ^ 1] = 1;
+      }
+      prev = kid;
+      res->streams.push_back(kid);
+    }
+  }
+  res->n_ids = (int64_t)char_of.size();
+  res->char_of = std::move(char_of);
+  // ignored rule (reference graph_from_assembly.cc:206-222 semantics,
+  // mirrored from the python loop): for ascending i with exactly one
+  // distinct successor `nxt` and i not an end marker, nxt != i^1, and
+  // nxt^1 also single-successor and nxt not an end marker -> ignore nxt
+  res->ignored.assign(res->n_ids, 0);
+  for (int64_t i = 0; i < res->n_ids; i++) {
+    if (ncnt[i] == 1 && !endm[i]) {
+      int32_t nxt = nfirst[i];
+      if (nxt == (int32_t)(i ^ 1)) continue;
+      if (ncnt[nxt ^ 1] == 1 && !endm[nxt]) res->ignored[nxt] = 1;
+    }
+  }
+  return res;
+}
+
+int64_t kmer_db_n_ids(void* h) { return ((KmerDbResult*)h)->n_ids; }
+int64_t kmer_db_stream_size(void* h) {
+  return (int64_t)((KmerDbResult*)h)->streams.size();
+}
+void kmer_db_copy(void* h, int32_t* streams, uint8_t* char_of,
+                  uint8_t* ignored) {
+  auto* r = (KmerDbResult*)h;
+  std::memcpy(streams, r->streams.data(),
+              r->streams.size() * sizeof(int32_t));
+  std::memcpy(char_of, r->char_of.data(), r->char_of.size());
+  std::memcpy(ignored, r->ignored.data(), r->ignored.size());
+}
+void kmer_db_free(void* h) { delete (KmerDbResult*)h; }
+
 // Banded log-space forward DP, host variant of ops/forward.py's
 // banded_forward (same band semantics: clipped guide steps in {0,1,2},
 // fixed-width window, free start, mass at read end).  Small long-read

@@ -144,7 +144,18 @@ class Optimizer:
         gr = self.graph
         rng = self.rng
         t_propose = time.perf_counter()
+        attempts = 0
         while True:
+            attempts += 1
+            if attempts > 200_000:
+                # no move family can succeed on this walk set (e.g. an
+                # edge-less bootstrap graph with unbreakable walks) — the
+                # reference would spin in its retry loop forever
+                # (gaml.cc:173-212 `continue`); stop the run cleanly
+                self.log("no applicable move after 200000 proposals - "
+                         "stopping early")
+                self.itnum = s.max_iterations + 1
+                return paths
             new_paths = [list(p) for p in paths]
             extendadvp = s.extendadvp
             if not self.advice_paired and not self.advice_pacbio:

@@ -112,3 +112,36 @@ def test_testrep_finds_duplicates(tmp_path, capsys):
     assert testrep_main([str(fa)]) == 0
     out = capsys.readouterr().out
     assert "repeat x" in out
+
+
+def test_graph_from_assembly_native_matches_python(tmp_path, monkeypatch):
+    """The native kmer_db phase must reproduce the python KmerDB exactly:
+    same node count, sequences, and scaffold walks (including scaffolds
+    with gaps and shared repeats across records)."""
+    rng = np.random.default_rng(12)
+    seg = lambda n: "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    rep = seg(160)
+    scf1 = seg(300) + rep + seg(250) + "N" * 7 + seg(220)
+    scf2 = seg(180) + rep + seg(210)
+    fa = tmp_path / "nm.fa"
+    fa.write_text(f">s1\n{scf1}\n>s2\n{scf2}\n")
+
+    from gaml_tpu.core.graph import Graph
+
+    def build():
+        gr = Graph()
+        paths = get_graph_from_assembly(str(fa), gr, k=101)
+        return gr, paths
+
+    gr_n, paths_n = build()
+    monkeypatch.setenv("GAML_TPU_NO_NATIVE", "1")
+    import gaml_tpu.native as native_mod
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", False)
+    gr_p, paths_p = build()
+    monkeypatch.setattr(native_mod, "_tried", False)
+
+    assert gr_n.num_nodes == gr_p.num_nodes
+    assert paths_n == paths_p
+    for a, b in zip(gr_n.seqs, gr_p.seqs):
+        np.testing.assert_array_equal(a, b)
