@@ -103,6 +103,10 @@ def get_lib():
         lib.collect_positions.argtypes = [ctypes.c_int32] + \
             [ctypes.c_void_p] * 9 + [ctypes.c_int32] + \
             [ctypes.c_void_p] * 6 + [ctypes.c_void_p]
+        lib.collect_positions_ptr.restype = ctypes.c_int64
+        lib.collect_positions_ptr.argtypes = [ctypes.c_int32] + \
+            [ctypes.c_void_p] * 8 + [ctypes.c_int32] + \
+            [ctypes.c_void_p] * 6 + [ctypes.c_void_p]
         lib.paired_inc_pairs2.restype = ctypes.c_int64
         lib.paired_inc_pairs2.argtypes = \
             [ctypes.c_void_p] * 3 + [ctypes.c_int32] + [ctypes.c_void_p] * 3 + \
@@ -490,6 +494,39 @@ def collect_positions(meta, flat, use_filter: bool = True, pool=None):
         int(use_filter),
         out_rid.ctypes.data, out_start.ctypes.data, out_cnt.ctypes.data, out_pos.ctypes.data,
         out_ed.ctypes.data, out_or.ctypes.data, out_nreads.ctypes.data)
+    nr = int(out_nreads[0])
+    return (out_rid[:nr], out_start[:nr], out_cnt[:nr],
+            out_pos, out_ed, out_or)
+
+
+def collect_positions_ptr(staged, use_filter: bool = True, pool=None):
+    """Pointer-per-window native position collection — same output as
+    collect_positions but the window columns are read in place from the
+    alignment cache (no flat concatenation).  ``staged`` is the bundle
+    from ReadSet.stage_position_windows: (ptr_pos, ptr_ed, ptr_rid,
+    ptr_or, w_len, w_curpos, w_group, w_ctg, total, keepalive)."""
+    lib = get_lib()
+    assert lib is not None
+    (p_pos, p_ed, p_rid, p_or, w_len, w_curpos, w_group, w_ctg,
+     total, _keep) = staged
+    n_windows = len(w_len)
+    cap = max(1, int(total))
+    bufs = pool[0] if pool is not None and pool[0] is not None else None
+    if bufs is None or len(bufs[0]) < cap:
+        bufs = (np.empty(cap, dtype=np.int32), np.empty(cap, dtype=np.int64),
+                np.empty(cap, dtype=np.int32), np.empty(cap, dtype=np.int32),
+                np.empty(cap, dtype=np.int32), np.empty(cap, dtype=np.int32))
+        if pool is not None:
+            pool[0] = bufs
+    out_rid, out_start, out_cnt, out_pos, out_ed, out_or = bufs
+    out_nreads = np.zeros(1, dtype=np.int32)
+    lib.collect_positions_ptr(
+        n_windows, p_pos.ctypes.data, p_ed.ctypes.data, p_rid.ctypes.data,
+        p_or.ctypes.data, w_len.ctypes.data, w_curpos.ctypes.data,
+        w_group.ctypes.data, w_ctg.ctypes.data, int(use_filter),
+        out_rid.ctypes.data, out_start.ctypes.data, out_cnt.ctypes.data,
+        out_pos.ctypes.data, out_ed.ctypes.data, out_or.ctypes.data,
+        out_nreads.ctypes.data)
     nr = int(out_nreads[0])
     return (out_rid[:nr], out_start[:nr], out_cnt[:nr],
             out_pos, out_ed, out_or)

@@ -577,6 +577,122 @@ int64_t collect_positions(
   return total;
 }
 
+// Pointer-per-window variant of collect_positions: the window column
+// arrays stay wherever the alignment cache holds them (no megabase
+// flat-buffer concatenation on the Python side — the staging cost that
+// dominated per-move rescores of long walks).  Semantics are identical
+// to collect_positions; w_pos/w_ed/w_rid/w_or are arrays of raw int32*
+// addresses, one per window.
+int64_t collect_positions_ptr(
+    int32_t n_windows, const int64_t* w_pos, const int64_t* w_ed,
+    const int64_t* w_rid, const int64_t* w_or, const int32_t* w_len,
+    const int32_t* w_curpos, const int32_t* w_group, const int32_t* w_ctg,
+    int32_t use_filter,
+    int32_t* out_rid, int64_t* out_start, int32_t* out_cnt,
+    int32_t* out_pos, int32_t* out_ed, int32_t* out_or,
+    int32_t* out_nreads) {
+  if (n_windows == 0) {
+    *out_nreads = 0;
+    return 0;
+  }
+  int32_t max_rid = 0;
+  for (int32_t w = 0; w < n_windows; w++) {
+    const int32_t* rids = (const int32_t*)w_rid[w];
+    for (int32_t k = 0; k < w_len[w]; k++)
+      if (rids[k] > max_rid) max_rid = rids[k];
+  }
+  static thread_local std::vector<int32_t> head, tail_, rstamp;
+  static thread_local int32_t stamp = 0;
+  if ((int64_t)head.size() < (int64_t)max_rid + 1) {
+    head.resize(max_rid + 1);
+    tail_.resize(max_rid + 1);
+    rstamp.assign(max_rid + 1, 0);
+    stamp = 0;
+  }
+  stamp++;
+  if (stamp == 0x7fffffff) {
+    std::fill(rstamp.begin(), rstamp.end(), 0);
+    stamp = 1;
+  }
+  struct PE {
+    int32_t pos, ed, orient, next;
+  };
+  static thread_local std::vector<PE> pool;
+  static thread_local std::vector<int32_t> rids_seen;
+  pool.clear();
+  rids_seen.clear();
+
+  int32_t max_pos = 0;
+  int32_t cur_max_pos = 0;
+  int32_t last_group = -1;
+  int32_t last_ctg = -1;
+  for (int32_t w = 0; w < n_windows; w++) {
+    if (w_ctg[w] != last_ctg) {
+      max_pos = 0;
+      cur_max_pos = 0;
+      last_ctg = w_ctg[w];
+      last_group = w_group[w];
+    } else if (w_group[w] != last_group) {
+      max_pos = max_pos > cur_max_pos ? max_pos : cur_max_pos;
+      cur_max_pos = 0;
+      last_group = w_group[w];
+    }
+    int32_t curpos = w_curpos[w];
+    const int32_t* c_pos = (const int32_t*)w_pos[w];
+    const int32_t* c_ed = (const int32_t*)w_ed[w];
+    const int32_t* c_rid = (const int32_t*)w_rid[w];
+    const int32_t* c_or = (const int32_t*)w_or[w];
+    for (int32_t k = 0; k < w_len[w]; k++) {
+      int32_t pos = c_pos[k] + curpos;
+      if (use_filter && pos < max_pos - 5) continue;
+      if (pos > cur_max_pos) cur_max_pos = pos;
+      int32_t rid = c_rid[k];
+      if (rstamp[rid] != stamp) {
+        rstamp[rid] = stamp;
+        head[rid] = tail_[rid] = -1;
+        rids_seen.push_back(rid);
+      }
+      bool found = false;
+      for (int32_t it = head[rid]; it != -1; it = pool[it].next) {
+        if (pool[it].pos == pos) {
+          pool[it].ed = c_ed[k];
+          pool[it].orient = c_or[k];
+          found = true;
+          break;
+        }
+      }
+      if (!found) {
+        pool.push_back({pos, c_ed[k], c_or[k], -1});
+        int32_t ni = (int32_t)pool.size() - 1;
+        if (tail_[rid] == -1)
+          head[rid] = ni;
+        else
+          pool[tail_[rid]].next = ni;
+        tail_[rid] = ni;
+      }
+    }
+  }
+  std::sort(rids_seen.begin(), rids_seen.end());
+  int32_t nr = 0;
+  int64_t total = 0;
+  for (int32_t rid : rids_seen) {
+    out_rid[nr] = rid;
+    out_start[nr] = total;
+    int32_t cnt = 0;
+    for (int32_t it = head[rid]; it != -1; it = pool[it].next) {
+      out_pos[total] = pool[it].pos;
+      out_ed[total] = pool[it].ed;
+      out_or[total] = pool[it].orient;
+      total++;
+      cnt++;
+    }
+    out_cnt[nr] = cnt;
+    nr++;
+  }
+  *out_nreads = nr;
+  return total;
+}
+
 // Two-sided pair loop: intersect both mates' grouped position lists by
 // read id (two-pointer over ascending rids) and run the innie pair
 // products + events (reference graph.cc:1853-1892).

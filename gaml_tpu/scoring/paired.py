@@ -242,7 +242,7 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
     if get_lib() is not None:
         # fully native per-walk pipeline: window staging (python, O(nodes))
         # -> C++ position collection -> C++ two-sided pair loop
-        from ..native import collect_positions, paired_inc_pairs2
+        from ..native import collect_positions_ptr, paired_inc_pairs2
 
         ctgs_with_st = []
         cur_len = 0
@@ -290,11 +290,11 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
             pool2 = getattr(read_set2, "_collect_pool", None)
             if pool2 is None:
                 pool2 = read_set2._collect_pool = [None]
-        g1 = collect_positions(
-            *read_set1.stage_position_windows(graph, ctgs_with_st),
+        g1 = collect_positions_ptr(
+            read_set1.stage_position_windows(graph, ctgs_with_st),
             pool=pool1)
-        g2 = collect_positions(
-            *read_set2.stage_position_windows(graph, ctgs_with_st),
+        g2 = collect_positions_ptr(
+            read_set2.stage_position_windows(graph, ctgs_with_st),
             pool=pool2)
         p_arr, rid_arr, ev_pos, ev_typ = paired_inc_pairs2(
             g1, g2,

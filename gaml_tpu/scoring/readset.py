@@ -582,13 +582,36 @@ class ReadSet:
             entry[1] = self.cache_version
         return entry[0]
 
-    def _stage_ctg(self, graph, ctg):
+    def _col_ptrs(self, ac):
+        """Raw data pointers of an AlignmentColumns value, cached per
+        object (the cache value arrays are immutable owned copies, so the
+        addresses are stable for the object's lifetime — the keepalive
+        lists in the stage memos hold the refs)."""
+        d = getattr(self, "_colptr_cache", None)
+        if d is None:
+            d = self._colptr_cache = {}
+        ent = d.get(id(ac))
+        if ent is None:
+            if len(d) > 500_000:
+                d.clear()
+            ent = (ac.position.ctypes.data, ac.edit_dist.ctypes.data,
+                   ac.read_id.ctypes.data, ac.orientation.ctypes.data, ac)
+            d[id(ac)] = ent
+        return ent
+
+    def _stage_ctg(self, graph, ctg, simple: bool = False):
         """Per-contig window stream (relative coordinates) for the native
-        collect kernel; memoized with missing-window validation
-        (_memo_lookup)."""
-        memo = getattr(self, "_stage_memo", None)
+        pointer-based collect kernel; memoized with missing-window
+        validation (_memo_lookup).  simple=True stages the
+        AddPositions-style stream (one plain window per node, no seqs
+        trick — reference graph.cc:600-649); simple=False the
+        GetPositionsOnlyPath stream.  Returns (p_pos, p_ed, p_rid, p_or,
+        w_len, w_curpos, w_group, total, keepalive)."""
+        attr = "_stage_memo_simple" if simple else "_stage_memo"
+        memo = getattr(self, attr, None)
         if memo is None:
-            memo = self._stage_memo = {}
+            memo = {}
+            setattr(self, attr, memo)
         if len(memo) > 100_000:
             memo.clear()
         ckey = tuple(ctg)
@@ -601,112 +624,71 @@ class ReadSet:
         if subpaths:
             self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
 
-        w_off: List[int] = []
+        p_pos: List[int] = []
+        p_ed: List[int] = []
+        p_rid: List[int] = []
+        p_or: List[int] = []
         w_len: List[int] = []
         w_curpos: List[int] = []
         w_group: List[int] = []
-        cols: List = []
+        keep: List = []
         missing: List[Subpath] = []
         total = 0
         cur_pos = 0
+        cache = self.aligment_cache
+        col_ptrs = self._col_ptrs
         for i in range(len(ctg)):
             cur_seq, _ = self._window_at(ctg, i, graph, stop_at_gap=False)
-            seqs = [cur_seq]
-            if graph.node_len(cur_seq[0]) > K_MIN_SUBPATH_LENGTH:
-                seqs.append([cur_seq[0]])
+            if simple:
+                seqs = [cur_seq]
+            else:
+                seqs = [cur_seq]
+                if graph.node_len(cur_seq[0]) > K_MIN_SUBPATH_LENGTH:
+                    seqs.append([cur_seq[0]])
             for seq in seqs:
                 key = tuple(seq)
-                if key not in self.aligment_cache:
+                ac = cache.get(key)
+                if ac is None:
                     missing.append(key)
-                ac = self.get_alignment_for_subpath(key)
-                w_off.append(total)
-                w_len.append(len(ac))
+                    ac = _EMPTY_COLUMNS
+                pp, pe, pr, po, _ref = col_ptrs(ac)
+                p_pos.append(pp)
+                p_ed.append(pe)
+                p_rid.append(pr)
+                p_or.append(po)
+                n = len(ac.position)
+                w_len.append(n)
                 w_curpos.append(cur_pos)
                 w_group.append(i)
-                cols.append(ac)
-                total += len(ac)
+                keep.append(ac)
+                total += n
             cur_pos += graph.node_len(ctg[i])
-        if cols:
-            flat = (np.concatenate([c.position for c in cols]),
-                    np.concatenate([c.edit_dist for c in cols]),
-                    np.concatenate([c.read_id for c in cols]),
-                    np.concatenate([c.orientation for c in cols]))
-        else:
-            z = np.zeros(0, np.int32)
-            flat = (z, z, z, z)
-        meta = (np.array(w_off, dtype=np.int64),
-                np.array(w_len, dtype=np.int32),
-                np.array(w_curpos, dtype=np.int32),
-                np.array(w_group, dtype=np.int32))
-        result = (meta, flat)
+        result = (np.array(p_pos, dtype=np.int64),
+                  np.array(p_ed, dtype=np.int64),
+                  np.array(p_rid, dtype=np.int64),
+                  np.array(p_or, dtype=np.int64),
+                  np.array(w_len, dtype=np.int32),
+                  np.array(w_curpos, dtype=np.int32),
+                  np.array(w_group, dtype=np.int32),
+                  total, keep)
         memo[ckey] = [result, self.cache_version, missing]
         return result
 
     def _stage_ctg_simple(self, graph, ctg):
-        """AddPositions-style window stream for one contig (one plain
-        window per node, no seqs trick, no filter) — reference
-        graph.cc:600-649.  Memoized like _stage_ctg."""
-        memo = getattr(self, "_stage_memo_simple", None)
-        if memo is None:
-            memo = self._stage_memo_simple = {}
-        if len(memo) > 100_000:
-            memo.clear()
-        ckey = tuple(ctg)
-        hit = self._memo_lookup(memo, ckey)
-        if hit is not None:
-            return hit
-        subpaths: Set[Subpath] = set()
-        self.get_subpaths_from_path(ctg, graph, subpaths)
-        if subpaths:
-            self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
-        w_off: List[int] = []
-        w_len: List[int] = []
-        w_curpos: List[int] = []
-        w_group: List[int] = []
-        cols: List = []
-        missing: List[Subpath] = []
-        total = 0
-        cur_pos = 0
-        for i in range(len(ctg)):
-            cur_seq, _ = self._window_at(ctg, i, graph, stop_at_gap=False)
-            key = tuple(cur_seq)
-            if key not in self.aligment_cache:
-                missing.append(key)
-            ac = self.get_alignment_for_subpath(key)
-            w_off.append(total)
-            w_len.append(len(ac))
-            w_curpos.append(cur_pos)
-            w_group.append(i)
-            cols.append(ac)
-            total += len(ac)
-            cur_pos += graph.node_len(ctg[i])
-        if cols:
-            flat = (np.concatenate([c.position for c in cols]),
-                    np.concatenate([c.edit_dist for c in cols]),
-                    np.concatenate([c.read_id for c in cols]),
-                    np.concatenate([c.orientation for c in cols]))
-        else:
-            z = np.zeros(0, np.int32)
-            flat = (z, z, z, z)
-        meta = (np.array(w_off, dtype=np.int64),
-                np.array(w_len, dtype=np.int32),
-                np.array(w_curpos, dtype=np.int32),
-                np.array(w_group, dtype=np.int32))
-        result = (meta, flat)
-        memo[ckey] = [result, self.cache_version, missing]
-        return result
+        return self._stage_ctg(graph, ctg, simple=True)
 
     def stage_position_windows(self, graph, ctgs_with_st, simple: bool = False):
         """Native fast path staging: the exact window stream of
         get_positions_only_path (simple=False) or AddPositions
-        (simple=True) over a walk's contigs (with their scaffold offsets):
-        (meta arrays, flat alignment arrays) for the C++
-        collect_positions kernel.  Runs the same cache precompute.
+        (simple=True) over a walk's contigs (with their scaffold offsets),
+        as a pointer-per-window bundle for the C++ collect_positions_ptr
+        kernel: (p_pos, p_ed, p_rid, p_or, w_len, w_curpos, w_group,
+        w_ctg, total, keepalive).  The window columns are read in place
+        from the alignment cache — no per-move concatenation of megabase
+        flat streams.  Runs the same cache precompute.
 
-        Whole-walk streams are memoized (keyed on the contig/offset layout)
-        with missing-window validation (_memo_lookup) — an erased walk was
-        always staged before as an added walk, so the per-move rescore of
-        large walks avoids re-concatenating megabase streams."""
+        Whole-walk bundles are memoized (keyed on the contig/offset
+        layout) with missing-window validation (_memo_lookup)."""
         wkey = (simple, tuple((tuple(c), st) for c, st in ctgs_with_st))
         wmemo = getattr(self, "_walk_stage_memo", None)
         if wmemo is None:
@@ -714,36 +696,34 @@ class ReadSet:
         hit = self._memo_lookup(wmemo, wkey)
         if hit is not None:
             return hit
-        metas = []
-        flats = []
+        parts = []
         group_base = 0
         version_at_start = self.cache_version
-        stage = self._stage_ctg_simple if simple else self._stage_ctg
         for ci, (ctg, st) in enumerate(ctgs_with_st):
-            (w_off, w_len, w_curpos, w_group), flat = stage(graph, ctg)
-            metas.append((w_off, w_len, w_curpos + np.int32(st),
-                          w_group + np.int32(group_base),
-                          np.full(len(w_off), ci, dtype=np.int32)))
-            flats.append(flat)
+            r = self._stage_ctg(graph, ctg, simple=simple)
+            parts.append((r, st, ci, group_base))
+            w_group = r[6]
             group_base += int(w_group[-1]) + 1 if len(w_group) else 0
-        if not metas:
+        if not parts:
             z32 = np.zeros(0, np.int32)
-            return ((np.zeros(0, np.int64), z32, z32, z32, z32),
-                    (z32, z32, z32, z32))
-        # re-offset the flat slices when concatenating contigs
-        off_adj = []
-        acc = 0
-        for (w_off, _w_len, _c, _g, _ci), flat in zip(metas, flats):
-            off_adj.append(w_off + acc)
-            acc += len(flat[0])
-        meta_out = (np.concatenate(off_adj),
-                    np.concatenate([m[1] for m in metas]),
-                    np.concatenate([m[2] for m in metas]),
-                    np.concatenate([m[3] for m in metas]),
-                    np.concatenate([m[4] for m in metas]))
-        flat_out = tuple(np.concatenate([f[k] for f in flats])
-                         for k in range(4))
-        # memoize the assembled stream, carrying the union of the contig
+            z64 = np.zeros(0, np.int64)
+            return (z64, z64, z64, z64, z32, z32, z32, z32, 0, [])
+        staged = (
+            np.concatenate([r[0] for r, _s, _c, _g in parts]),
+            np.concatenate([r[1] for r, _s, _c, _g in parts]),
+            np.concatenate([r[2] for r, _s, _c, _g in parts]),
+            np.concatenate([r[3] for r, _s, _c, _g in parts]),
+            np.concatenate([r[4] for r, _s, _c, _g in parts]),
+            np.concatenate([r[5] + np.int32(st)
+                            for r, st, _c, _g in parts]),
+            np.concatenate([r[6] + np.int32(gb)
+                            for r, _s, _c, gb in parts]),
+            np.concatenate([np.full(len(r[4]), ci, dtype=np.int32)
+                            for r, _s, ci, _g in parts]),
+            sum(r[7] for r, _s, _c, _g in parts),
+            [r[8] for r, _s, _c, _g in parts],
+        )
+        # memoize the assembled bundle, carrying the union of the contig
         # streams' missing windows for validation
         ctg_memo = getattr(self,
                            "_stage_memo_simple" if simple else "_stage_memo",
@@ -759,13 +739,12 @@ class ReadSet:
                 missing.extend(entry[2])
             else:
                 budget = getattr(self, "_walk_stage_elems", 0)
-                if budget > 40_000_000:  # ~640 MB of column data
+                if budget > 40_000_000:
                     wmemo.clear()
                     budget = 0
-                self._walk_stage_elems = budget + 4 * len(flat_out[0])
-                wmemo[wkey] = [(meta_out, flat_out), self.cache_version,
-                               missing]
-        return meta_out, flat_out
+                self._walk_stage_elems = budget + 8 * len(staged[0])
+                wmemo[wkey] = [staged, self.cache_version, missing]
+        return staged
 
     def get_positions_grouped(self, graph, path: Sequence[int]):
         """Native grouped-array variant of get_positions (same windows and
@@ -777,7 +756,7 @@ class ReadSet:
         if get_lib() is None:
             return None
         from ..core.paths import path_len as _plen, split_at_gaps
-        from ..native import collect_positions
+        from ..native import collect_positions_ptr
 
         ctgs, gaps = split_at_gaps(list(path))
         ctgs_with_st = []
@@ -790,8 +769,8 @@ class ReadSet:
             ln = _plen(graph, ctg)
             cur += ln
             total_len += ln
-        out = collect_positions(
-            *self.stage_position_windows(graph, ctgs_with_st),
+        out = collect_positions_ptr(
+            self.stage_position_windows(graph, ctgs_with_st),
             use_filter=False)
         return out + (total_len,)
 

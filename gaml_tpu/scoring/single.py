@@ -40,7 +40,7 @@ def calc_score_for_paths_single(graph, paths: Sequence[Sequence[int]],
         # probabilities accumulated per read in entry order (bit-identical
         # to the reference's sequential +=)
         from ..core.paths import path_len as _plen
-        from ..native import collect_positions
+        from ..native import collect_positions_ptr
 
         ctgs_with_st = []
         for path in paths:
@@ -53,9 +53,9 @@ def calc_score_for_paths_single(graph, paths: Sequence[Sequence[int]],
                 ctgs_with_st.append((ctg, st + total_len1))
                 total_len1 += _plen(graph, ctg)
             st += 1000000
-        rids_g, starts_g, cnts_g, pos_g, ed_g, or_g = collect_positions(
-            *read_set.stage_position_windows(graph, ctgs_with_st,
-                                             simple=True),
+        rids_g, starts_g, cnts_g, pos_g, ed_g, or_g = collect_positions_ptr(
+            read_set.stage_position_windows(graph, ctgs_with_st,
+                                            simple=True),
             use_filter=False)
         total_entries = int(cnts_g.sum()) if len(cnts_g) else 0
         read_probs = np.zeros(read_set.get_number_of_reads(),
