@@ -436,7 +436,31 @@ int64_t coverage_sweep(const int32_t* ev_pos, const int32_t* ev_typ,
   static thread_local std::vector<std::pair<int32_t, int32_t>> ev;
   ev.resize(n);
   for (int64_t i = 0; i < n; i++) ev[i] = {ev_pos[i], ev_typ[i]};
-  std::sort(ev.begin(), ev.end());
+  if (n > 8192) {
+    // stable LSD radix by (typ, pos-low16, pos-high16) == sort by
+    // (pos, typ); pos sign handled by biasing the high half
+    static thread_local std::vector<std::pair<int32_t, int32_t>> tmp;
+    tmp.resize(n);
+    static thread_local std::vector<int64_t> cnt;
+    cnt.assign(65536, 0);
+    for (int64_t i = 0; i < n; i++) cnt[ev[i].second & 0xffff]++;
+    for (int32_t d = 1; d < 65536; d++) cnt[d] += cnt[d - 1];
+    for (int64_t i = n - 1; i >= 0; i--)
+      tmp[--cnt[ev[i].second & 0xffff]] = ev[i];
+    cnt.assign(65536, 0);
+    for (int64_t i = 0; i < n; i++) cnt[tmp[i].first & 0xffff]++;
+    for (int32_t d = 1; d < 65536; d++) cnt[d] += cnt[d - 1];
+    for (int64_t i = n - 1; i >= 0; i--)
+      ev[--cnt[tmp[i].first & 0xffff]] = tmp[i];
+    cnt.assign(65536, 0);
+    for (int64_t i = 0; i < n; i++)
+      cnt[((uint32_t)(ev[i].first ^ 0x80000000)) >> 16]++;
+    for (int32_t d = 1; d < 65536; d++) cnt[d] += cnt[d - 1];
+    for (int64_t i = n - 1; i >= 0; i--)
+      tmp[--cnt[((uint32_t)(ev[i].first ^ 0x80000000)) >> 16]] = ev[i];
+    ev.swap(tmp);
+  } else
+    std::sort(ev.begin(), ev.end());
   int64_t last_event_pos = 0;
   int32_t last_event_type = -1;
   int64_t last_begin = 0;
@@ -587,7 +611,7 @@ int64_t collect_positions_ptr(
     int32_t n_windows, const int64_t* w_pos, const int64_t* w_ed,
     const int64_t* w_rid, const int64_t* w_or, const int32_t* w_len,
     const int32_t* w_curpos, const int32_t* w_group, const int32_t* w_ctg,
-    int32_t use_filter,
+    int32_t use_filter, int32_t n_reads_hint,
     int32_t* out_rid, int64_t* out_start, int32_t* out_cnt,
     int32_t* out_pos, int32_t* out_ed, int32_t* out_or,
     int32_t* out_nreads) {
@@ -595,11 +619,15 @@ int64_t collect_positions_ptr(
     *out_nreads = 0;
     return 0;
   }
-  int32_t max_rid = 0;
-  for (int32_t w = 0; w < n_windows; w++) {
-    const int32_t* rids = (const int32_t*)w_rid[w];
-    for (int32_t k = 0; k < w_len[w]; k++)
-      if (rids[k] > max_rid) max_rid = rids[k];
+  // n_reads_hint > 0: caller guarantees all rids < hint, skipping the
+  // max-rid pre-pass over every entry
+  int32_t max_rid = n_reads_hint > 0 ? n_reads_hint - 1 : 0;
+  if (n_reads_hint <= 0) {
+    for (int32_t w = 0; w < n_windows; w++) {
+      const int32_t* rids = (const int32_t*)w_rid[w];
+      for (int32_t k = 0; k < w_len[w]; k++)
+        if (rids[k] > max_rid) max_rid = rids[k];
+    }
   }
   static thread_local std::vector<int32_t> head, tail_, rstamp;
   static thread_local int32_t stamp = 0;
@@ -691,6 +719,35 @@ int64_t collect_positions_ptr(
   }
   *out_nreads = nr;
   return total;
+}
+
+// Both mates' position collections in one call, run concurrently on two
+// OS threads (the collections are independent; all scratch state in
+// collect_positions_ptr is thread_local, outputs are disjoint buffers).
+void collect_positions_ptr2(
+    int32_t a_nw, const int64_t* a_wpos, const int64_t* a_wed,
+    const int64_t* a_wrid, const int64_t* a_wor, const int32_t* a_wlen,
+    const int32_t* a_wcur, const int32_t* a_wgrp, const int32_t* a_wctg,
+    int32_t a_filter, int32_t a_hint,
+    int32_t* a_orid, int64_t* a_ost, int32_t* a_ocnt, int32_t* a_opos,
+    int32_t* a_oed, int32_t* a_oor, int32_t* a_onr,
+    int32_t b_nw, const int64_t* b_wpos, const int64_t* b_wed,
+    const int64_t* b_wrid, const int64_t* b_wor, const int32_t* b_wlen,
+    const int32_t* b_wcur, const int32_t* b_wgrp, const int32_t* b_wctg,
+    int32_t b_filter, int32_t b_hint,
+    int32_t* b_orid, int64_t* b_ost, int32_t* b_ocnt, int32_t* b_opos,
+    int32_t* b_oed, int32_t* b_oor, int32_t* b_onr) {
+#pragma omp parallel sections
+  {
+#pragma omp section
+    collect_positions_ptr(a_nw, a_wpos, a_wed, a_wrid, a_wor, a_wlen,
+                          a_wcur, a_wgrp, a_wctg, a_filter, a_hint, a_orid,
+                          a_ost, a_ocnt, a_opos, a_oed, a_oor, a_onr);
+#pragma omp section
+    collect_positions_ptr(b_nw, b_wpos, b_wed, b_wrid, b_wor, b_wlen,
+                          b_wcur, b_wgrp, b_wctg, b_filter, b_hint, b_orid,
+                          b_ost, b_ocnt, b_opos, b_oed, b_oor, b_onr);
+  }
 }
 
 // Two-sided pair loop: intersect both mates' grouped position lists by

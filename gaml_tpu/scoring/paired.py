@@ -27,6 +27,12 @@ from ..core.logprob import insert_prob, insert_prob_table
 from ..core.paths import path_len, split_at_gaps, total_len as paths_total_len
 from .reduce import get_total_prob, get_total_prob_from_logs
 
+import os
+
+# run the two mates' position collections on concurrent OS threads
+# (pays off on many-core hosts; hurts on tiny shared VMs)
+_COLLECT_PARALLEL = os.environ.get("GAML_COLLECT_PARALLEL") == "1"
+
 
 @dataclass
 class ScoringState:
@@ -242,7 +248,8 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
     if get_lib() is not None:
         # fully native per-walk pipeline: window staging (python, O(nodes))
         # -> C++ position collection -> C++ two-sided pair loop
-        from ..native import collect_positions_ptr, paired_inc_pairs2
+        from ..native import (collect_positions_ptr,
+                              collect_positions_ptr_pair, paired_inc_pairs2)
 
         ctgs_with_st = []
         cur_len = 0
@@ -290,12 +297,22 @@ def calc_score_for_path_inc(graph, path, read_set1, read_set2,
             pool2 = getattr(read_set2, "_collect_pool", None)
             if pool2 is None:
                 pool2 = read_set2._collect_pool = [None]
-        g1 = collect_positions_ptr(
-            read_set1.stage_position_windows(graph, ctgs_with_st),
-            pool=pool1)
-        g2 = collect_positions_ptr(
-            read_set2.stage_position_windows(graph, ctgs_with_st),
-            pool=pool2)
+        staged1 = read_set1.stage_position_windows(graph, ctgs_with_st)
+        staged2 = read_set2.stage_position_windows(graph, ctgs_with_st)
+        if _COLLECT_PARALLEL:
+            # concurrent dual-collect: wins on many-core hosts, loses on
+            # tiny shared VMs (doubles the streaming working set)
+            g1, g2 = collect_positions_ptr_pair(
+                staged1, staged2, pool1=pool1, pool2=pool2,
+                n_reads1=read_set1.get_number_of_reads(),
+                n_reads2=read_set2.get_number_of_reads())
+        else:
+            g1 = collect_positions_ptr(
+                staged1, pool=pool1,
+                n_reads=read_set1.get_number_of_reads())
+            g2 = collect_positions_ptr(
+                staged2, pool=pool2,
+                n_reads=read_set2.get_number_of_reads())
         p_arr, rid_arr, ev_pos, ev_typ = paired_inc_pairs2(
             g1, g2,
             read_set1.read_lens_i32(), read_set2.read_lens_i32(),

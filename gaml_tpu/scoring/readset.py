@@ -771,7 +771,7 @@ class ReadSet:
             total_len += ln
         out = collect_positions_ptr(
             self.stage_position_windows(graph, ctgs_with_st),
-            use_filter=False)
+            use_filter=False, n_reads=self.get_number_of_reads())
         return out + (total_len,)
 
     # --------------------------------------------------------------- advice

@@ -56,7 +56,7 @@ def calc_score_for_paths_single(graph, paths: Sequence[Sequence[int]],
         rids_g, starts_g, cnts_g, pos_g, ed_g, or_g = collect_positions_ptr(
             read_set.stage_position_windows(graph, ctgs_with_st,
                                             simple=True),
-            use_filter=False)
+            use_filter=False, n_reads=read_set.get_number_of_reads())
         total_entries = int(cnts_g.sum()) if len(cnts_g) else 0
         read_probs = np.zeros(read_set.get_number_of_reads(),
                               dtype=np.float64)
