@@ -29,6 +29,8 @@ def _join_onto_end(paths: List[Path], path: Path, path_ends, rng):
 def extend_paths_adv_paired(paths: List[Path], gr, threshold: int,
                             rs1, rs2, kmer: int, prob_calc, rng) -> bool:
     """Reference moves.cc:933-1078."""
+    if not paths:
+        return False  # reference: rand() % 0 in SamplePathByLength (UB)
     rp = sample_path_by_length(paths, gr, rng)
     path = list(paths[rp])
     if rng.randint(2) == 1:
@@ -118,6 +120,8 @@ def extend_paths_adv_paired(paths: List[Path], gr, threshold: int,
 def extend_paths_adv_pacbio(paths: List[Path], gr, threshold: int,
                             rs, kmer: int, prob_calc, rng) -> bool:
     """Reference moves.cc:802-931."""
+    if not paths:
+        return False  # reference: rand() % 0 in SamplePathByLength (UB)
     rp = sample_path_by_length(paths, gr, rng)
     path = list(paths[rp])
     if rng.randint(2) == 1:

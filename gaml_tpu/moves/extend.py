@@ -82,6 +82,8 @@ def extend_paths_alt(paths: List[Path], gr, threshold: int, rng) -> bool:
     """Extend allowing joins into the *middle* of another walk, 2-opt style
     (reference ExtendPathsAlt, moves.cc:358-541).  Mutates ``paths`` even on
     some failure paths, like the reference — callers pass a copy."""
+    if not paths:
+        return False  # reference: rand() % 0 (UB)
     for i in range(len(paths)):
         if rng.randint(2) == 0:
             reverse_path(paths[i])
@@ -180,6 +182,10 @@ def extend_paths(new_paths: List[Path], gr, threshold: int, prob_calc, rng) -> b
     Quirk preserved: after five failed ExtendPathsAlt attempts the
     reference's bare ``false;`` statement (moves.cc:553) falls through to
     the normal extension instead of returning."""
+    if not new_paths:
+        # empty walk set (e.g. threshold above every node): the reference
+        # hits rand() % 0 here (moves.cc:556, UB) — fail the move instead
+        return False
     if rng.randint(7) == 0:
         for _ in range(5):
             pp = [list(p) for p in new_paths]

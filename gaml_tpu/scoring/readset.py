@@ -36,6 +36,11 @@ from ..core.paths import invert_path
 
 Subpath = Tuple[int, ...]
 
+# segment size (in nodes) for content-keyed staging/precompute memos on
+# long walks; proposals touching a small region of a megabase walk then
+# only rescan/restage the touched segments
+_STAGE_SEG = 128
+
 
 class ReadSet:
     def __init__(self, name: str, filename: str, match_prob: float,
@@ -383,6 +388,12 @@ class ReadSet:
                 # no inserts possible; thread the exact last_end carry
                 last_end = done
                 continue
+            if len(path) >= 2 * _STAGE_SEG:
+                last_end, memoizable = self._precompute_walk_segmented(
+                    graph, path, pkey, last_end)
+                if memoizable:
+                    scanned.append((pkey, last_end))
+                continue
             memoizable = False  # needs >= 1 non-gap entry (else the
             # stored last_end would be the carried-in one — content-free)
             first = True
@@ -413,6 +424,81 @@ class ReadSet:
             self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
         for pkey, le in scanned:
             memo[pkey] = le
+
+    def _precompute_walk_segmented(self, graph, path, pkey, carry_in):
+        """Segmented equivalent of the per-walk precompute scan for long
+        walks: each 512-node segment's insertion scan is memoized on
+        (content incl. window spillover, whether the incoming window-end
+        carry equals the first window's end) — the only two ways its
+        insertion decisions can depend on context.  Inserts happen per
+        segment (idempotent: alignments are content-deterministic, so the
+        end-of-call cache state matches the unsegmented scan).  Returns
+        (outgoing last_end carry, memoizable flag for the walk memo)."""
+        SEG = _STAGE_SEG
+        pmemo = getattr(self, "_seg_pre_memo", None)
+        if pmemo is None:
+            pmemo = self._seg_pre_memo = set()
+        if len(pmemo) > 20_000:
+            pmemo.clear()
+        cache = self.aligment_cache
+        node_len = graph.node_len
+        n = len(path)
+        last_out = carry_in
+        memoizable = False
+        first = True
+        for s in range(0, n, SEG):
+            e = min(s + SEG, n)
+            i_last = e - 1
+            while i_last >= s and path[i_last] < 0:
+                i_last -= 1
+            if i_last < s:
+                continue  # all gaps: no windows, carry unchanged
+            _w, ext_end = self._window_at(path, i_last, graph,
+                                          stop_at_gap=True)
+            i_first = s
+            while path[i_first] < 0:
+                i_first += 1
+            seq0, end0 = self._window_at(path, i_first, graph,
+                                         stop_at_gap=True)
+            carry_hit = last_out == end0
+            if first:
+                # the walk memo's first-window quirk: an uncached first
+                # window skipped only because of the incoming carry makes
+                # the walk unmemoizable (a different predecessor would
+                # insert it)
+                rule150 = len(seq0) == 1 and node_len(seq0[0]) > 150
+                if carry_hit and not rule150 and tuple(seq0) not in cache:
+                    memoizable = None
+                elif memoizable is False:
+                    memoizable = True
+                first = False
+            skey = (pkey[s:ext_end + 1], carry_hit)
+            if skey not in pmemo:
+                out: Set[Subpath] = set()
+                last_end = last_out
+                for i in range(s, e):
+                    if path[i] < 0:
+                        continue
+                    cur_seq, cur_end = self._window_at(path, i, graph,
+                                                       stop_at_gap=True)
+                    key = tuple(cur_seq)
+                    if key not in cache:
+                        if (last_end != cur_end or
+                                (len(cur_seq) == 1 and
+                                 node_len(cur_seq[0]) > 150)):
+                            out.add(key)
+                            out.add(tuple(invert_path(cur_seq)))
+                    if node_len(path[i]) > K_MIN_SUBPATH_LENGTH:
+                        if (path[i],) not in cache:
+                            out.add((path[i],))
+                            out.add((path[i] ^ 1,))
+                    last_end = cur_end
+                if out:
+                    self.precompute_alignment_for_subpaths(graph,
+                                                           sorted(out))
+                pmemo.add(skey)
+            last_out = ext_end
+        return last_out, bool(memoizable)
 
     def precompute_alignment_for_subpaths(self, graph,
                                           subpaths: Sequence[Subpath]) -> None:
@@ -606,7 +692,11 @@ class ReadSet:
         AddPositions-style stream (one plain window per node, no seqs
         trick — reference graph.cc:600-649); simple=False the
         GetPositionsOnlyPath stream.  Returns (p_pos, p_ed, p_rid, p_or,
-        w_len, w_curpos, w_group, total, keepalive)."""
+        w_len, w_curpos, w_group, total, keepalive).
+
+        Long contigs stage per 512-node segment with content-keyed
+        segment memos, so a proposal that changes a small region of a
+        megabase walk restages only the touched segments."""
         attr = "_stage_memo_simple" if simple else "_stage_memo"
         memo = getattr(self, attr, None)
         if memo is None:
@@ -618,12 +708,24 @@ class ReadSet:
         hit = self._memo_lookup(memo, ckey)
         if hit is not None:
             return hit
+        if len(ctg) >= 2 * _STAGE_SEG:
+            result, missing = self._stage_ctg_segmented(graph, ctg, ckey,
+                                                        simple)
+        else:
+            subpaths: Set[Subpath] = set()
+            self.get_subpaths_from_path(ctg, graph, subpaths)
+            if subpaths:
+                self.precompute_alignment_for_subpaths(graph,
+                                                       sorted(subpaths))
+            result, missing = self._stage_span(graph, ctg, 0, len(ctg),
+                                               simple)
+        memo[ckey] = [result, self.cache_version, missing]
+        return result
 
-        subpaths: Set[Subpath] = set()
-        self.get_subpaths_from_path(ctg, graph, subpaths)
-        if subpaths:
-            self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
-
+    def _stage_span(self, graph, ctg, s, e, simple):
+        """Window stream of ctg[s:e) in span-relative coordinates
+        (w_curpos from 0 at node s, w_group = i - s).  Pure read of the
+        alignment cache — callers run the insertion scan first."""
         p_pos: List[int] = []
         p_ed: List[int] = []
         p_rid: List[int] = []
@@ -637,7 +739,7 @@ class ReadSet:
         cur_pos = 0
         cache = self.aligment_cache
         col_ptrs = self._col_ptrs
-        for i in range(len(ctg)):
+        for i in range(s, e):
             cur_seq, _ = self._window_at(ctg, i, graph, stop_at_gap=False)
             if simple:
                 seqs = [cur_seq]
@@ -659,7 +761,7 @@ class ReadSet:
                 n = len(ac.position)
                 w_len.append(n)
                 w_curpos.append(cur_pos)
-                w_group.append(i)
+                w_group.append(i - s)
                 keep.append(ac)
                 total += n
             cur_pos += graph.node_len(ctg[i])
@@ -671,8 +773,83 @@ class ReadSet:
                   np.array(w_curpos, dtype=np.int32),
                   np.array(w_group, dtype=np.int32),
                   total, keep)
-        memo[ckey] = [result, self.cache_version, missing]
-        return result
+        return result, missing
+
+    def _stage_ctg_segmented(self, graph, ctg, ckey, simple):
+        """Segmented staging of a long gap-free contig.  Each 512-node
+        segment's stream is memoized on its content (including the
+        following nodes its last window spills into), and the
+        get_subpaths insertion scan is memoized on (content, whether the
+        incoming window-end carry suppresses the first window) — exactly
+        the two ways a segment's behavior can depend on its context."""
+        SEG = _STAGE_SEG
+        sattr = "_seg_stage_memo_simple" if simple else "_seg_stage_memo"
+        smemo = getattr(self, sattr, None)
+        if smemo is None:
+            smemo = {}
+            setattr(self, sattr, smemo)
+        if len(smemo) > 10_000:
+            smemo.clear()
+        scanmemo = getattr(self, "_seg_scan_memo", None)
+        if scanmemo is None:
+            scanmemo = self._seg_scan_memo = set()
+        if len(scanmemo) > 20_000:
+            scanmemo.clear()
+        cache = self.aligment_cache
+        n = len(ctg)
+        parts = []
+        all_missing: List[Subpath] = []
+        carry_end = -1  # window-end index of ctg[s-1]'s window
+        for s in range(0, n, SEG):
+            e = min(s + SEG, n)
+            _w, ext_end = self._window_at(ctg, e - 1, graph,
+                                          stop_at_gap=False)
+            skey = ckey[s:ext_end + 1]
+            seq0, end0 = self._window_at(ctg, s, graph, stop_at_gap=False)
+            # insertion scan (reference GetSubpathsFromPath restricted to
+            # [s, e) with the exact incoming carry)
+            scan_key = (skey, carry_end == end0)
+            if scan_key not in scanmemo:
+                out: Set[Subpath] = set()
+                last_end = carry_end
+                for i in range(s, e):
+                    cur_seq, cur_end = self._window_at(ctg, i, graph,
+                                                       stop_at_gap=True)
+                    if cur_end != last_end:
+                        k = tuple(cur_seq)
+                        if k not in cache:
+                            out.add(k)
+                    last_end = cur_end
+                if out:
+                    self.precompute_alignment_for_subpaths(graph,
+                                                           sorted(out))
+                scanmemo.add(scan_key)
+            carry_end = ext_end
+            # stream
+            ent = self._memo_lookup(smemo, skey)
+            if ent is None:
+                ent = self._stage_span(graph, ctg, s, e, simple)
+                smemo[skey] = [ent, self.cache_version, list(ent[1])]
+            parts.append((ent[0], s))
+            all_missing.extend(ent[1])
+        # assemble: offset each segment's relative coords
+        lens = graph.lens_np()
+        ctg_arr = np.asarray(ctg, dtype=np.int64)
+        seg_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[ctg_arr[:-1]], out=seg_starts[1:])
+        result = (
+            np.concatenate([r[0] for r, _s in parts]),
+            np.concatenate([r[1] for r, _s in parts]),
+            np.concatenate([r[2] for r, _s in parts]),
+            np.concatenate([r[3] for r, _s in parts]),
+            np.concatenate([r[4] for r, _s in parts]),
+            np.concatenate([r[5] + np.int32(seg_starts[s])
+                            for r, s in parts]),
+            np.concatenate([r[6] + np.int32(s) for r, s in parts]),
+            sum(r[7] for r, _s in parts),
+            [r[8] for r, _s in parts],
+        )
+        return result, all_missing
 
     def _stage_ctg_simple(self, graph, ctg):
         return self._stage_ctg(graph, ctg, simple=True)

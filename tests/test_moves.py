@@ -118,3 +118,35 @@ def test_local_change_rewires_through_alternative():
                 assert gr.has_next(a, b)
             return
     pytest.fail("local_change never succeeded")
+
+
+def test_moves_empty_walk_set():
+    """Every move proposer fails gracefully on an empty walk set (e.g.
+    long_contig_threshold above every node) — the reference hits
+    ``rand() % 0`` there (moves.cc:556,675 — UB), a documented
+    improvement."""
+    from gaml_tpu.core import dna
+    from gaml_tpu.core.graph import Graph
+    from gaml_tpu.moves.advice import (extend_paths_adv_paired,
+                                       extend_paths_adv_pacbio)
+    from gaml_tpu.moves.extend import extend_paths, extend_paths_alt
+    from gaml_tpu.utils.rng import GamlRng
+
+    gr = Graph()
+    gr.add_node_pair(dna.encode_seq("ACGTACGTAC"))
+    gr.calc_prob_sums()
+    gr.calc_normalize_map()
+    rng = GamlRng(3)
+    stub = ScoreStub()
+
+    class _RsStub:
+        def build_advice_index(self, *a):
+            raise AssertionError("must bail before touching read sets")
+
+    for _ in range(30):  # cover the 1/7 extend_paths_alt branch too
+        assert extend_paths([], gr, 500, stub, rng) is False
+    assert extend_paths_alt([], gr, 500, rng) is False
+    assert extend_paths_adv_paired([], gr, 500, _RsStub(), _RsStub(), 47,
+                                   stub, rng) is False
+    assert extend_paths_adv_pacbio([], gr, 500, _RsStub(), 47, stub,
+                                   rng) is False
