@@ -619,102 +619,90 @@ int64_t collect_positions_ptr(
     *out_nreads = 0;
     return 0;
   }
-  // n_reads_hint > 0: caller guarantees all rids < hint, skipping the
-  // max-rid pre-pass over every entry
-  int32_t max_rid = n_reads_hint > 0 ? n_reads_hint - 1 : 0;
-  if (n_reads_hint <= 0) {
-    for (int32_t w = 0; w < n_windows; w++) {
-      const int32_t* rids = (const int32_t*)w_rid[w];
-      for (int32_t k = 0; k < w_len[w]; k++)
-        if (rids[k] > max_rid) max_rid = rids[k];
-    }
-  }
-  static thread_local std::vector<int32_t> head, tail_, rstamp;
-  static thread_local int32_t stamp = 0;
-  if ((int64_t)head.size() < (int64_t)max_rid + 1) {
-    head.resize(max_rid + 1);
-    tail_.resize(max_rid + 1);
-    rstamp.assign(max_rid + 1, 0);
-    stamp = 0;
-  }
-  stamp++;
-  if (stamp == 0x7fffffff) {
-    std::fill(rstamp.begin(), rstamp.end(), 0);
-    stamp = 1;
-  }
-  struct PE {
-    int32_t pos, ed, orient, next;
+  (void)n_reads_hint;
+  // pass A (streaming): apply the trailing-duplicate filter in window
+  // order, emitting kept entries as packed structs
+  struct CE {
+    int32_t pos, rid;
+    int16_t ed, orient;
   };
-  static thread_local std::vector<PE> pool;
-  static thread_local std::vector<int32_t> rids_seen;
-  pool.clear();
-  rids_seen.clear();
-
-  int32_t max_pos = 0;
-  int32_t cur_max_pos = 0;
-  int32_t last_group = -1;
-  int32_t last_ctg = -1;
-  for (int32_t w = 0; w < n_windows; w++) {
-    if (w_ctg[w] != last_ctg) {
-      max_pos = 0;
-      cur_max_pos = 0;
-      last_ctg = w_ctg[w];
-      last_group = w_group[w];
-    } else if (w_group[w] != last_group) {
-      max_pos = max_pos > cur_max_pos ? max_pos : cur_max_pos;
-      cur_max_pos = 0;
-      last_group = w_group[w];
-    }
-    int32_t curpos = w_curpos[w];
-    const int32_t* c_pos = (const int32_t*)w_pos[w];
-    const int32_t* c_ed = (const int32_t*)w_ed[w];
-    const int32_t* c_rid = (const int32_t*)w_rid[w];
-    const int32_t* c_or = (const int32_t*)w_or[w];
-    for (int32_t k = 0; k < w_len[w]; k++) {
-      int32_t pos = c_pos[k] + curpos;
-      if (use_filter && pos < max_pos - 5) continue;
-      if (pos > cur_max_pos) cur_max_pos = pos;
-      int32_t rid = c_rid[k];
-      if (rstamp[rid] != stamp) {
-        rstamp[rid] = stamp;
-        head[rid] = tail_[rid] = -1;
-        rids_seen.push_back(rid);
+  static thread_local std::vector<CE> kept, tmp;
+  kept.clear();
+  {
+    int32_t max_pos = 0;
+    int32_t cur_max_pos = 0;
+    int32_t last_group = -1;
+    int32_t last_ctg = -1;
+    for (int32_t w = 0; w < n_windows; w++) {
+      if (w_ctg[w] != last_ctg) {
+        max_pos = 0;
+        cur_max_pos = 0;
+        last_ctg = w_ctg[w];
+        last_group = w_group[w];
+      } else if (w_group[w] != last_group) {
+        max_pos = max_pos > cur_max_pos ? max_pos : cur_max_pos;
+        cur_max_pos = 0;
+        last_group = w_group[w];
       }
+      int32_t curpos = w_curpos[w];
+      const int32_t* c_pos = (const int32_t*)w_pos[w];
+      const int32_t* c_ed = (const int32_t*)w_ed[w];
+      const int32_t* c_rid = (const int32_t*)w_rid[w];
+      const int32_t* c_or = (const int32_t*)w_or[w];
+      for (int32_t k = 0; k < w_len[w]; k++) {
+        int32_t pos = c_pos[k] + curpos;
+        if (use_filter && pos < max_pos - 5) continue;
+        if (pos > cur_max_pos) cur_max_pos = pos;
+        kept.push_back({pos, c_rid[k], (int16_t)c_ed[k], (int16_t)c_or[k]});
+      }
+    }
+  }
+  int64_t K = (int64_t)kept.size();
+  // pass B: stable LSD radix by rid (16-bit x 2) — sequential bucket
+  // writes instead of per-entry pointer chasing over read-count-sized
+  // scratch arrays
+  static thread_local std::vector<int64_t> cnt;
+  tmp.resize(K);
+  cnt.assign(65536, 0);
+  for (int64_t i = 0; i < K; i++) cnt[kept[i].rid & 0xffff]++;
+  for (int32_t d = 1; d < 65536; d++) cnt[d] += cnt[d - 1];
+  for (int64_t i = K - 1; i >= 0; i--)
+    tmp[--cnt[kept[i].rid & 0xffff]] = kept[i];
+  cnt.assign(65536, 0);
+  for (int64_t i = 0; i < K; i++) cnt[(uint32_t)tmp[i].rid >> 16]++;
+  for (int32_t d = 1; d < 65536; d++) cnt[d] += cnt[d - 1];
+  for (int64_t i = K - 1; i >= 0; i--)
+    kept[--cnt[(uint32_t)tmp[i].rid >> 16]] = tmp[i];
+  // pass C: contiguous rid runs in original emission order (stable
+  // radix); dedup by position = first-occurrence order, last-written
+  // ed/orient — identical to the reference map-emplace + overwrite
+  int32_t nr = 0;
+  int64_t total = 0;
+  int64_t i = 0;
+  while (i < K) {
+    int32_t rid = kept[i].rid;
+    int64_t run_start = total;
+    out_rid[nr] = rid;
+    out_start[nr] = total;
+    for (; i < K && kept[i].rid == rid; i++) {
+      int32_t pos = kept[i].pos;
       bool found = false;
-      for (int32_t it = head[rid]; it != -1; it = pool[it].next) {
-        if (pool[it].pos == pos) {
-          pool[it].ed = c_ed[k];
-          pool[it].orient = c_or[k];
+      for (int64_t j = run_start; j < total; j++) {
+        if (out_pos[j] == pos) {
+          out_ed[j] = kept[i].ed;
+          out_or[j] = kept[i].orient;
           found = true;
           break;
         }
       }
       if (!found) {
-        pool.push_back({pos, c_ed[k], c_or[k], -1});
-        int32_t ni = (int32_t)pool.size() - 1;
-        if (tail_[rid] == -1)
-          head[rid] = ni;
-        else
-          pool[tail_[rid]].next = ni;
-        tail_[rid] = ni;
+        out_pos[total] = pos;
+        out_ed[total] = kept[i].ed;
+        out_or[total] = kept[i].orient;
+        total++;
       }
     }
-  }
-  std::sort(rids_seen.begin(), rids_seen.end());
-  int32_t nr = 0;
-  int64_t total = 0;
-  for (int32_t rid : rids_seen) {
-    out_rid[nr] = rid;
-    out_start[nr] = total;
-    int32_t cnt = 0;
-    for (int32_t it = head[rid]; it != -1; it = pool[it].next) {
-      out_pos[total] = pool[it].pos;
-      out_ed[total] = pool[it].ed;
-      out_or[total] = pool[it].orient;
-      total++;
-      cnt++;
-    }
-    out_cnt[nr] = cnt;
+    out_cnt[nr] = (int32_t)(total - run_start);
     nr++;
   }
   *out_nreads = nr;
