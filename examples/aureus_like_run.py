@@ -87,7 +87,8 @@ def main():
     t0 = time.time()
     sets = {}
     for name in ("f1", "f2", "a1", "a2"):
-        rs = ReadSet(f"{out_dir}/rs_{name}", f"{out_dir}/{name}.fq", 0.96, 0.01)
+        rs = ReadSet(f"{out_dir}/rs_{name}", f"{out_dir}/{name}.fq", 0.96, 0.01,
+                     backend=os.environ.get("GAML_BACKEND", "bfs"))
         rs.preprocess_reads()
         rs.prepare_read_index()
         sets[name] = rs

@@ -82,7 +82,27 @@ def main(argv=None) -> int:
                          "= TPU min-cost kernel")
     ap.add_argument("--resume", default="",
                     help="resume from <prefix>.ckpt")
+    ap.add_argument("--paired-device", action="store_true",
+                    help="score paired read sets on the device mesh "
+                         "(sharded pair products + psum reduction, "
+                         "parallel.paired_sharded) instead of the host "
+                         "incremental scorer")
+    ap.add_argument("--distributed", default="",
+                    help="multi-host mode: coordinator address "
+                         "host:port (or set GAML_COORD); requires "
+                         "GAML_NPROC and GAML_PROC_ID")
     args = ap.parse_args(argv)
+
+    import os
+
+    coord = args.distributed or os.environ.get("GAML_COORD", "")
+    if coord:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["GAML_NPROC"]),
+            process_id=int(os.environ["GAML_PROC_ID"]))
 
     configs, read_set_configs = load_config(args.config)
     if "graph" not in configs and "starting_assembly" not in configs:
@@ -103,6 +123,10 @@ def main(argv=None) -> int:
     paths = starting_paths_from_config(configs, graph, settings)
 
     pc = ProbCalculator(single, paired, pacbio, graph)
+    if args.paired_device and paired:
+        from .parallel.sharded import make_mesh
+
+        pc.enable_sharded_paired(make_mesh())
     advice_paired = [pair for cfg, pair in paired if cfg.advice]
     advice_pacbio = [rs for cfg, rs in pacbio if cfg.advice]
 

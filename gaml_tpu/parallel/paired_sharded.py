@@ -1,0 +1,419 @@
+"""Multi-chip paired-end likelihood scoring (live-path semantics).
+
+The production paired scorer is the *incremental* one (reference
+CalcScoreForPathsNew, graph.cc:1952-1989): per-walk position collection
+via GetPositionsOnlyPath (graph.cc:535-598, with the trailing-window
+``pos < max_pos - 5`` filter), the innie pair products with the
+rs2-length-twice event threshold quirk (graph.cc:1855-1857), per-walk
+coverage sweeps, and the floored mean-log reduction over per-read totals
+(GetTotalProb, graph.cc:1495-1516).  This module reproduces those exact
+semantics as a full rescore with the O(rows * K^2) pair products and the
+O(n_reads) reduction on a device mesh:
+
+- host: window precompute + per-walk position collection (identical code
+  paths to scoring/paired.py) + the tiny per-walk event sweeps;
+- device: rows = (walk, read) pairs with positions in both mates, bucketed
+  by position count (NO silent truncation — the widest bucket is sized to
+  the true maximum), sharded over the mesh "reads" axis; each bucket's
+  pair products segment-sum into per-read totals merged with
+  ``psum_scatter``; the floored log reduction merges shard partials with
+  ``psum``;
+- coverage events (qualifying pairs, max/min positions) come back as
+  device arrays and feed the host per-walk sweeps.
+
+Scores match the host incremental scorer to float-reassociation accuracy
+(the device sums per-read contributions in segment order, the host in
+emission order); tests pin 1e-9 relative on CPU meshes with x64.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_BUCKET_KS = (4, 16, 64)  # position-count classes; above the last, K = max
+
+
+def _collect_walk_rows(graph, path, read_set1, read_set2):
+    """One walk's (rid, plist1, plist2) rows + host scaffold events,
+    exactly as calc_score_for_path_inc collects them (reference
+    graph.cc:1794-1853)."""
+    from ..core.paths import path_len, split_at_gaps
+    from ..native import get_lib
+
+    events: List[Tuple[int, int]] = [(0, 1)]
+    ctgs, gaps = split_at_gaps(list(path))
+    ctgs_with_st = []
+    cur_len = 0
+    for i, ctg in enumerate(ctgs):
+        if i > 0:
+            cur_len += gaps[i - 1]
+            events.append((cur_len, 1))
+        ctgs_with_st.append((ctg, cur_len))
+        cur_len += path_len(graph, ctg)
+
+    if get_lib() is not None:
+        from ..native import collect_positions_ptr
+
+        g1 = collect_positions_ptr(
+            read_set1.stage_position_windows(graph, ctgs_with_st),
+            n_reads=read_set1.get_number_of_reads())
+        g2 = collect_positions_ptr(
+            read_set2.stage_position_windows(graph, ctgs_with_st),
+            n_reads=read_set2.get_number_of_reads())
+        return g1, g2, events
+
+    positions1: Dict[int, list] = {}
+    positions2: Dict[int, list] = {}
+    for ctg, st in ctgs_with_st:
+        read_set1.get_positions_only_path(graph, ctg, st, positions1)
+        read_set2.get_positions_only_path(graph, ctg, st, positions2)
+
+    def grouped(positions):
+        rids = np.array(sorted(positions), dtype=np.int32)
+        cnts = np.array([len(positions[r]) for r in rids.tolist()],
+                        dtype=np.int32)
+        starts = np.zeros(len(rids), dtype=np.int64)
+        if len(rids):
+            starts[1:] = np.cumsum(cnts[:-1])
+        total = int(cnts.sum()) if len(rids) else 0
+        pos = np.zeros(total, np.int32)
+        ed = np.zeros(total, np.int32)
+        orient = np.zeros(total, np.int32)
+        k = 0
+        for r in rids.tolist():
+            for al in positions[r]:
+                pos[k] = al.position
+                ed[k] = al.edit_dist
+                orient[k] = al.orientation
+                k += 1
+        return rids, starts, cnts, pos, ed, orient
+
+    return grouped(positions1), grouped(positions2), events
+
+
+def _ragged_fill(dense, starts, cnts, flat):
+    """dense[row, :cnts[row]] = flat[starts[row] : starts[row]+cnts[row]]."""
+    if len(cnts) == 0 or cnts.sum() == 0:
+        return
+    rows_idx = np.repeat(np.arange(len(cnts)), cnts)
+    cum = np.zeros(len(cnts), dtype=np.int64)
+    cum[1:] = np.cumsum(cnts[:-1])
+    cols = np.arange(int(cnts.sum())) - np.repeat(cum, cnts)
+    src = np.repeat(starts, cnts) + cols
+    dense[rows_idx, cols] = flat[src]
+
+
+def stage_paired_rows(graph, paths, read_set1, read_set2,
+                      row_align: int = 8):
+    """Stage every walk's pair rows into count-class buckets.
+
+    Returns (buckets, walk_events, total_len).  Each bucket: dense
+    [rows_pad, K] int32 arrays pos1/ed1/or1/pos2/ed2/or2 plus per-row
+    rid / walk / len1 / len2 / mask.  Every (walk, read-in-both-mates)
+    row appears in exactly one bucket with ALL its positions."""
+    from ..core.paths import path_len
+
+    read_set1.precompute_alignment_for_paths(paths, graph)
+    read_set2.precompute_alignment_for_paths(paths, graph)
+
+    lens1 = read_set1.read_lens_array().astype(np.int32)
+    lens2 = read_set2.read_lens_array().astype(np.int32)
+    per_walk = []
+    walk_events = []
+    total_len = 0
+    for w, path in enumerate(paths):
+        g1, g2, events = _collect_walk_rows(graph, path, read_set1, read_set2)
+        walk_events.append(events)
+        total_len += path_len(graph, path)
+        rid1, st1, ct1 = g1[0], g1[1], g1[2]
+        rid2, st2, ct2 = g2[0], g2[1], g2[2]
+        common, i1, i2 = np.intersect1d(rid1, rid2, assume_unique=True,
+                                        return_indices=True)
+        per_walk.append((w, common, st1[i1], ct1[i1], g1[3], g1[4], g1[5],
+                         st2[i2], ct2[i2], g2[3], g2[4], g2[5]))
+
+    # global row table
+    rid_all = np.concatenate([pw[1] for pw in per_walk]) if per_walk else \
+        np.zeros(0, np.int32)
+    walk_all = np.concatenate([np.full(len(pw[1]), pw[0], np.int32)
+                               for pw in per_walk]) if per_walk else \
+        np.zeros(0, np.int32)
+    c1_all = np.concatenate([pw[3] for pw in per_walk]) if per_walk else \
+        np.zeros(0, np.int32)
+    c2_all = np.concatenate([pw[8] for pw in per_walk]) if per_walk else \
+        np.zeros(0, np.int32)
+    counts = np.maximum(c1_all, c2_all)
+    kmax = int(counts.max()) if len(counts) else 0
+
+    classes: List[Tuple[int, np.ndarray]] = []
+    prev = 0
+    for k in _BUCKET_KS:
+        ids = np.nonzero((counts > prev) & (counts <= k))[0]
+        if len(ids):
+            classes.append((k, ids))
+        prev = k
+    if kmax > prev:
+        classes.append((kmax, np.nonzero(counts > prev)[0]))
+
+    # per-walk row offsets into the global table
+    walk_row_off = np.zeros(len(per_walk) + 1, dtype=np.int64)
+    for i, pw in enumerate(per_walk):
+        walk_row_off[i + 1] = walk_row_off[i] + len(pw[1])
+
+    buckets = []
+    for k, ids in classes:
+        r = len(ids)
+        r_pad = ((r + row_align - 1) // row_align) * row_align
+        b = {"pos1": np.full((r_pad, k), -1, np.int32),
+             "ed1": np.zeros((r_pad, k), np.int32),
+             "or1": np.zeros((r_pad, k), np.int32),
+             "pos2": np.full((r_pad, k), -1, np.int32),
+             "ed2": np.zeros((r_pad, k), np.int32),
+             "or2": np.zeros((r_pad, k), np.int32),
+             "rid": np.full(r_pad, 0, np.int32),
+             "walk": np.full(r_pad, -1, np.int32),
+             "len1": np.zeros(r_pad, np.int32),
+             "len2": np.zeros(r_pad, np.int32),
+             "mask": np.zeros(r_pad, bool)}
+        b["rid"][:r] = rid_all[ids]
+        b["walk"][:r] = walk_all[ids]
+        b["len1"][:r] = lens1[rid_all[ids]]
+        b["len2"][:r] = lens2[rid_all[ids]]
+        b["mask"][:r] = True
+        # scatter the ragged position lists of the selected rows, per walk
+        # (rows of one walk share that walk's flat position arrays)
+        sel_walk = walk_all[ids]
+        for wi, pw in enumerate(per_walk):
+            in_walk = np.nonzero(sel_walk == pw[0])[0]
+            if not len(in_walk):
+                continue
+            local = ids[in_walk] - walk_row_off[pw[0]]
+            for mate, st_a, ct_a, pos_a, ed_a, or_a in (
+                    ("1", pw[2], pw[3], pw[4], pw[5], pw[6]),
+                    ("2", pw[7], pw[8], pw[9], pw[10], pw[11])):
+                sts = st_a[local].astype(np.int64)
+                cts = ct_a[local]
+                sub_pos = np.zeros((len(in_walk), k), np.int32) - 1
+                sub_ed = np.zeros((len(in_walk), k), np.int32)
+                sub_or = np.zeros((len(in_walk), k), np.int32)
+                _ragged_fill(sub_pos, sts, cts, pos_a)
+                _ragged_fill(sub_ed, sts, cts, ed_a)
+                _ragged_fill(sub_or, sts, cts, or_a)
+                b["pos" + mate][in_walk] = sub_pos
+                b["ed" + mate][in_walk] = sub_ed
+                b["or" + mate][in_walk] = sub_or
+        buckets.append(b)
+    return buckets, walk_events, total_len
+
+
+class ShardedPairedScorer:
+    """Pair products + floored reduction on a device mesh ("reads" axis).
+
+    dtype: float64 on CPU meshes for bit-close host parity (requires
+    jax_enable_x64), float32 on TPU for throughput."""
+
+    def __init__(self, mesh, log_m1, log_mm1, log_m2, log_mm2,
+                 insert_mean: float, insert_std: float, dtype=None,
+                 collect_events: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        self.mesh = mesh
+        self.nr = mesh.shape["reads"]
+        self.params = (float(log_m1), float(log_mm1), float(log_m2),
+                       float(log_mm2), float(insert_mean), float(insert_std))
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+        self.collect_events = collect_events
+        self._bucket_fns = {}
+        self._reduce_fn = None
+
+    # ------------------------------------------------------ bucket products
+    def _make_bucket(self, n_pad: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        (log_m1, log_mm1, log_m2, log_mm2, im, istd) = self.params
+        dtype = self.dtype
+        collect_events = self.collect_events
+        nr = self.nr
+
+        def shard_fn(pos1, ed1, or1, pos2, ed2, or2, rid, len1, len2, mask,
+                     mppb, mps):
+            v = (pos1 >= 0)[:, :, None] & (pos2 >= 0)[:, None, :]
+            x_pos = pos1[:, :, None]
+            y_pos = pos2[:, None, :]
+            x_first = x_pos < y_pos
+            geom_ok = jnp.where(
+                x_first,
+                (or1[:, :, None] == 0) & (or2[:, None, :] == 1),
+                (or1[:, :, None] == 1) & (or2[:, None, :] == 0))
+            dist = jnp.where(x_first,
+                             y_pos - x_pos + len2[:, None, None],
+                             x_pos - y_pos + len1[:, None, None]).astype(dtype)
+            z = (dist - im) / istd
+            insprob = jnp.exp(-z * z / 2.0) / (np.sqrt(2 * np.pi) * istd)
+            lp1 = (ed1 * log_mm1 + (len1[:, None] - ed1) * log_m1)
+            lp2 = (ed2 * log_mm2 + (len2[:, None] - ed2) * log_m2)
+            p = jnp.exp(lp1[:, :, None].astype(dtype) +
+                        lp2[:, None, :].astype(dtype)) * insprob
+            valid = v & geom_ok & mask[:, None, None]
+            p = jnp.where(valid, p, 0.0)
+            row_probs = jnp.sum(p, axis=(1, 2))
+            full = jax.ops.segment_sum(row_probs, jnp.where(mask, rid, 0),
+                                       num_segments=n_pad)
+            # merge all shards' row contributions; each shard keeps its
+            # reads-slice of the per-read totals
+            local = jax.lax.psum_scatter(full, "reads", scatter_dimension=0,
+                                         tiled=True)
+            if not collect_events:
+                return local
+            # incremental event-threshold quirk: rs2's length twice
+            # (reference graph.cc:1855-1857)
+            thr_ev = jnp.exp(mps + mppb * (len2 + len2).astype(dtype))
+            qual = valid & (p > thr_ev[:, None, None])
+            evmax = jnp.where(qual, jnp.maximum(x_pos, y_pos), -1)
+            evmin = jnp.where(qual, jnp.minimum(x_pos, y_pos), -1)
+            return local, evmax, evmin
+
+        in_specs = tuple([P("reads")] * 10 + [P()] * 2)
+        out_specs = P("reads") if not collect_events else \
+            (P("reads"), P("reads"), P("reads"))
+        return jax.jit(jax.shard_map(shard_fn, mesh=self.mesh,
+                                     in_specs=in_specs, out_specs=out_specs,
+                                     check_vma=False))
+
+    def bucket_products(self, bucket, n_pad: int, min_prob_per_base: float,
+                        min_prob_start: float):
+        """Returns (read_probs_sharded [n_pad], evmax, evmin) — event
+        arrays None unless collect_events."""
+        import jax.numpy as jnp
+
+        key = (bucket["pos1"].shape, n_pad)
+        fn = self._bucket_fns.get(key)
+        if fn is None:
+            fn = self._bucket_fns[key] = self._make_bucket(n_pad)
+        args = [jnp.asarray(bucket[k]) for k in
+                ("pos1", "ed1", "or1", "pos2", "ed2", "or2", "rid",
+                 "len1", "len2", "mask")]
+        args += [jnp.asarray(min_prob_per_base, dtype=self.dtype),
+                 jnp.asarray(min_prob_start, dtype=self.dtype)]
+        out = fn(*args)
+        if self.collect_events:
+            return out
+        return out, None, None
+
+    # ----------------------------------------------------------- reduction
+    def _make_reduce(self, n_pad: int, n_reads: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        dtype = self.dtype
+
+        def shard_fn(probs, lens, mask, total_len, mppb, mps):
+            tl = jnp.maximum(total_len, 1).astype(dtype)
+            p = probs / (2.0 * tl)
+            thresholds = jnp.exp(mps + mppb * lens)
+            floored = (p < thresholds) & mask
+            zero_local = jnp.sum(floored.astype(jnp.int32))
+            p = jnp.where(p < thresholds, thresholds, p)
+            log_local = jnp.sum(jnp.where(mask, jnp.log(p), 0.0))
+            return (jax.lax.psum(log_local, "reads") / n_reads,
+                    jax.lax.psum(zero_local, "reads"))
+
+        return jax.jit(jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P("reads"), P("reads"), P("reads"), P(), P(), P()),
+            out_specs=(P(), P()), check_vma=False))
+
+    def reduce(self, read_probs, lens, mask, n_pad, n_reads, total_len,
+               min_prob_per_base, min_prob_start):
+        import jax.numpy as jnp
+
+        key = (n_pad, n_reads)
+        if self._reduce_fn is None or self._reduce_key != key:
+            self._reduce_fn = self._make_reduce(n_pad, n_reads)
+            self._reduce_key = key
+        s, z = self._reduce_fn(
+            read_probs, lens, mask,
+            jnp.asarray(float(total_len), dtype=self.dtype),
+            jnp.asarray(min_prob_per_base, dtype=self.dtype),
+            jnp.asarray(min_prob_start, dtype=self.dtype))
+        return float(s), int(z)
+
+
+def calc_score_for_paths_paired_sharded(
+        graph, paths, read_set1, read_set2, insert_mean: float,
+        insert_std: float, mesh, no_cov_penalty: float = 0.0,
+        exp_cov_move: float = 0.75, use_all_to_cov: bool = False,
+        min_prob_per_base: float = -0.7, min_prob_start: float = -10.0,
+        scorer: Optional[ShardedPairedScorer] = None, dtype=None):
+    """Full paired rescore with live incremental-path semantics, pair
+    products + reduction on the mesh.  Returns (score, zero_reads,
+    total_len) — equal to calc_score_for_paths_incremental from a fresh
+    ScoringState up to float reassociation."""
+    import jax.numpy as jnp
+
+    from ..scoring.paired import _coverage_sweep, _pair_lens
+
+    assert read_set1.get_number_of_reads() == read_set2.get_number_of_reads()
+    n = read_set1.get_number_of_reads()
+    nr = mesh.shape["reads"]
+    if scorer is None:
+        scorer = ShardedPairedScorer(
+            mesh, np.log(read_set1.match_prob), np.log(read_set1.mismatch_prob),
+            np.log(read_set2.match_prob), np.log(read_set2.mismatch_prob),
+            insert_mean, insert_std, dtype=dtype)
+
+    buckets, walk_events, total_len = stage_paired_rows(
+        graph, paths, read_set1, read_set2, row_align=nr)
+
+    n_pad = ((n + nr - 1) // nr) * nr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("reads"))
+    import jax
+
+    read_probs = None
+    ev_by_walk: Dict[int, List[Tuple[int, int]]] = {}
+    for b in buckets:
+        local, evmax, evmin = scorer.bucket_products(
+            b, n_pad, min_prob_per_base, min_prob_start)
+        read_probs = local if read_probs is None else read_probs + local
+        if evmax is not None:
+            walks = b["walk"]
+            for ev, lo in ((np.asarray(evmax), True),
+                           (np.asarray(evmin) if use_all_to_cov else None,
+                            False)):
+                if ev is None:
+                    continue
+                rows, _a, _b2 = np.nonzero(ev >= 0)
+                vals = ev[ev >= 0]
+                for row, v in zip(rows.tolist(), vals.tolist()):
+                    ev_by_walk.setdefault(int(walks[row]), []).append((v, 3))
+
+    if read_probs is None:
+        read_probs = jax.device_put(
+            jnp.zeros(n_pad, dtype=scorer.dtype), shard)
+
+    lens_pair = _pair_lens(read_set1, read_set2)
+    lens_buf = np.zeros(n_pad)
+    lens_buf[:n] = lens_pair
+    mask_buf = np.zeros(n_pad, dtype=bool)
+    mask_buf[:n] = True
+    score, zero_reads = scorer.reduce(
+        read_probs, jax.device_put(jnp.asarray(lens_buf, dtype=scorer.dtype),
+                                   shard),
+        jax.device_put(jnp.asarray(mask_buf), shard),
+        n_pad, n, total_len, min_prob_per_base, min_prob_start)
+
+    bad_bases = 0
+    for w, events in enumerate(walk_events):
+        ev = events + ev_by_walk.get(w, [])
+        bad_bases += _coverage_sweep(ev, insert_mean, insert_std,
+                                     exp_cov_move)
+    return score - bad_bases * no_cov_penalty, zero_reads, total_len

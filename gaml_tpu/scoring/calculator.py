@@ -25,6 +25,8 @@ class ProbCalculator:
         self.pacbio_reads = list(pacbio_reads)
         self.graph = graph
         self.paired_scoring_states = [ScoringState() for _ in self.paired_reads]
+        self._sharded_paired = None
+        self._sharded_scorers = []
 
     def calc_prob(self, paths: Sequence[Sequence[int]],
                   zeros: Optional[List[Tuple[int, int]]] = None):
@@ -44,13 +46,17 @@ class ProbCalculator:
             if zeros is not None:
                 zeros.append((zero, rs.get_number_of_reads()))
         for ind, (cfg, (rs1, rs2)) in enumerate(self.paired_reads):
-            score, zero, total_len = calc_score_for_paths_incremental(
-                self.graph, paths, rs1, rs2, cfg.insert_mean, cfg.insert_std,
-                self.paired_scoring_states[ind],
-                no_cov_penalty=cfg.penalty_constant, exp_cov_move=cfg.step,
-                use_all_to_cov=True,
-                min_prob_per_base=cfg.min_prob_per_base,
-                min_prob_start=cfg.min_prob_start)
+            if self._sharded_paired is not None:
+                score, zero, total_len = self._calc_paired_sharded(
+                    ind, cfg, rs1, rs2, paths)
+            else:
+                score, zero, total_len = calc_score_for_paths_incremental(
+                    self.graph, paths, rs1, rs2, cfg.insert_mean,
+                    cfg.insert_std, self.paired_scoring_states[ind],
+                    no_cov_penalty=cfg.penalty_constant, exp_cov_move=cfg.step,
+                    use_all_to_cov=True,
+                    min_prob_per_base=cfg.min_prob_per_base,
+                    min_prob_start=cfg.min_prob_start)
             prob += score * cfg.weight
             if zeros is not None:
                 zeros.append((zero, rs1.get_number_of_reads()))
@@ -69,6 +75,35 @@ class ProbCalculator:
 
     def score(self, paths: Sequence[Sequence[int]]) -> float:
         return self.calc_prob(paths)[0]
+
+    def enable_sharded_paired(self, mesh, dtype=None) -> None:
+        """Score paired sets on a device mesh: pair products + floored
+        reduction under shard_map with psum over the mesh "reads" axis
+        (parallel.paired_sharded), full-rescore semantics on every call.
+        The scale path for read sets too large for the host pair loop and
+        the multi-chip data-parallel axis (SURVEY.md section 5.8)."""
+        self._sharded_paired = (mesh, dtype)
+        self._sharded_scorers = [None] * len(self.paired_reads)
+
+    def _calc_paired_sharded(self, ind, cfg, rs1, rs2, paths):
+        from ..parallel.paired_sharded import (
+            ShardedPairedScorer, calc_score_for_paths_paired_sharded)
+        import numpy as np
+
+        mesh, dtype = self._sharded_paired
+        scorer = self._sharded_scorers[ind]
+        if scorer is None:
+            scorer = ShardedPairedScorer(
+                mesh, np.log(rs1.match_prob), np.log(rs1.mismatch_prob),
+                np.log(rs2.match_prob), np.log(rs2.mismatch_prob),
+                cfg.insert_mean, cfg.insert_std, dtype=dtype,
+                collect_events=cfg.penalty_constant != 0.0)
+            self._sharded_scorers[ind] = scorer
+        return calc_score_for_paths_paired_sharded(
+            self.graph, paths, rs1, rs2, cfg.insert_mean, cfg.insert_std,
+            mesh, no_cov_penalty=cfg.penalty_constant, exp_cov_move=cfg.step,
+            use_all_to_cov=True, min_prob_per_base=cfg.min_prob_per_base,
+            min_prob_start=cfg.min_prob_start, scorer=scorer)
 
     def enable_device_scoring_state(self, mesh) -> None:
         """Move the paired running per-read totals onto a device mesh

@@ -136,15 +136,12 @@ def calc_score_for_path_paired_legacy(graph, path, read_set1, read_set2,
     return score
 
 
-def calc_score_for_paths_paired(graph, paths, read_set1, read_set2,
-                                insert_mean: float, insert_std: float,
-                                no_cov_penalty: float = 0.0,
-                                exp_cov_move: float = 0.75,
-                                use_all_to_cov: bool = False,
-                                min_prob_per_base: float = -0.7,
-                                min_prob_start: float = -10.0):
-    """Full paired rescore.  Returns (score, zero_reads, total_len)."""
-    assert read_set1.get_number_of_reads() == read_set2.get_number_of_reads()
+def collect_paired_positions(graph, paths, read_set1, read_set2):
+    """Shared position-assembly pass of the full paired rescore
+    (reference graph.cc:2010-2049): precompute windows, walk the scaffold
+    parts at ``st += 1000000`` offsets filling both mates' position lists,
+    and record the scaffold-boundary coverage events.  Returns
+    (scaffold_events, total_len)."""
     total_len1 = 0
     read_set1.clear_positions()
     read_set2.clear_positions()
@@ -164,7 +161,20 @@ def calc_score_for_paths_paired(graph, paths, read_set1, read_set2,
             read_set2.add_positions(graph, ctg, st + total_len1)
             total_len1 += added1
         st += 1000000
+    return events, total_len1
 
+
+def calc_score_for_paths_paired(graph, paths, read_set1, read_set2,
+                                insert_mean: float, insert_std: float,
+                                no_cov_penalty: float = 0.0,
+                                exp_cov_move: float = 0.75,
+                                use_all_to_cov: bool = False,
+                                min_prob_per_base: float = -0.7,
+                                min_prob_start: float = -10.0):
+    """Full paired rescore.  Returns (score, zero_reads, total_len)."""
+    assert read_set1.get_number_of_reads() == read_set2.get_number_of_reads()
+    events, total_len1 = collect_paired_positions(graph, paths, read_set1,
+                                                  read_set2)
     positions1 = read_set1.positions
     positions2 = read_set2.positions
     table = insert_prob_table(insert_mean, insert_std)
