@@ -109,29 +109,31 @@ def sharded_single_end_score(mesh: Mesh, staged: Dict[str, jnp.ndarray],
     return jax.jit(fn)(*args)
 
 
-def stage_sharded(seq: np.ndarray, cand_by_read_shard: List[list],
-                  mesh: Mesh, rmax: int, read_lens: List[np.ndarray]):
-    """Build [NR, NC, nb, ...] staged arrays from per-reads-shard candidate
-    lists; each candidate is (read_id_local, genome_pos, read_pos, read).
-
-    Candidates of a shard are split round-robin across the cand axis."""
-    from ..ops.extend import stage_candidates
-
-    nr = mesh.shape["reads"]
-    nc = mesh.shape["cand"]
-    assert len(cand_by_read_shard) == nr
-    nb = 1
-    per_cell: List[List[list]] = [[[] for _ in range(nc)] for _ in range(nr)]
-    # split by read id so duplicate alignments of one read stay in one cell
-    # (the (read, begin) dedup is per-shard)
+def split_cells(cand_by_read_shard: List[list], nc: int):
+    """Split each reads-shard's candidates round-robin by read id across
+    the cand axis (duplicate alignments of one read stay in one cell — the
+    (read, begin) dedup is per-shard).  Returns (per_cell, local_nb)."""
+    per_cell: List[List[list]] = [[[] for _ in range(nc)]
+                                  for _ in cand_by_read_shard]
     for ri, cands in enumerate(cand_by_read_shard):
         for c in cands:
             per_cell[ri][c[0] % nc].append(c)
-    nb = max(1, max(len(cell) for row in per_cell for cell in row))
-    nb = ((nb + 127) // 128) * 128
+    nb = max(1, max((len(cell) for row in per_cell for cell in row),
+                    default=1))
+    return per_cell, nb
+
+
+def stage_rows(seq: np.ndarray, per_cell: List[List[list]], nc: int,
+               rmax: int, nb: int, read_lens: List[np.ndarray],
+               n_reads_local: int):
+    """Stage a set of reads-shard rows into [n_rows, NC, nb, ...] arrays
+    (one row per reads shard; a multiprocess worker stages only its own
+    rows).  ``nb`` must be the GLOBAL per-cell capacity (consistent
+    padding across processes)."""
+    from ..ops.extend import stage_candidates
 
     cells = []
-    for ri in range(nr):
+    for ri in range(len(per_cell)):
         row = []
         for ci in range(nc):
             cell = per_cell[ri][ci]
@@ -154,11 +156,25 @@ def stage_sharded(seq: np.ndarray, cand_by_read_shard: List[list],
                 "read_len", "at_start"):
         staged[key] = np.stack(
             [np.stack([cells[ri][ci][key] for ci in range(nc)])
-             for ri in range(nr)])
-    n_reads_local = max(len(rl) for rl in read_lens)
-    lens = np.zeros((nr, n_reads_local), dtype=np.int32)
-    mask = np.zeros((nr, n_reads_local), dtype=bool)
+             for ri in range(len(per_cell))])
+    lens = np.zeros((len(per_cell), n_reads_local), dtype=np.int32)
+    mask = np.zeros((len(per_cell), n_reads_local), dtype=bool)
     for ri, rl in enumerate(read_lens):
         lens[ri, :len(rl)] = rl
         mask[ri, :len(rl)] = True
-    return staged, (lens, mask), n_reads_local
+    return staged, (lens, mask)
+
+
+def stage_sharded(seq: np.ndarray, cand_by_read_shard: List[list],
+                  mesh: Mesh, rmax: int, read_lens: List[np.ndarray]):
+    """Build [NR, NC, nb, ...] staged arrays from per-reads-shard candidate
+    lists; each candidate is (read_id_local, genome_pos, read_pos, read)."""
+    nr = mesh.shape["reads"]
+    nc = mesh.shape["cand"]
+    assert len(cand_by_read_shard) == nr
+    per_cell, nb = split_cells(cand_by_read_shard, nc)
+    nb = ((nb + 127) // 128) * 128
+    n_reads_local = max(len(rl) for rl in read_lens)
+    staged, lens_mask = stage_rows(seq, per_cell, nc, rmax, nb, read_lens,
+                                   n_reads_local)
+    return staged, lens_mask, n_reads_local
