@@ -68,6 +68,11 @@ class AlignmentColumns(NamedTuple):
         return not self.__eq__(other)
 
 
+_EMPTY_COLUMNS_ALIGNER = AlignmentColumns(
+    np.zeros(0, np.int32), np.zeros(0, np.int32),
+    np.zeros(0, np.int32), np.zeros(0, np.int32))
+
+
 class Candidate(NamedTuple):
     read_id: int
     genome_pos: int  # seed k-mer start in window coordinates
@@ -263,7 +268,16 @@ class SubpathAligner:
     def align_subpaths_batch(self, graph, paths: List[Sequence[int]]):
         """Device backend: align many subpaths in ONE batched kernel call
         (amortizes device dispatch across windows).  Returns a list of
-        Alignment lists parallel to ``paths``."""
+        Alignment lists parallel to ``paths``.
+
+        With the native bundle attached the host side is fully vectorized:
+        candidate generation runs in C++ (query_windows_batch,
+        OpenMP-parallel across windows), staging and the first-wins
+        (position, read) dedup are numpy array ops — no per-candidate
+        Python loop anywhere."""
+        bundle = getattr(self, "native_bundle", None)
+        if bundle is not None:
+            return self._align_subpaths_batch_native(graph, paths, bundle)
         from ..ops.extend import batch_extend_multi
 
         seqs = []
@@ -309,6 +323,85 @@ class SubpathAligner:
                     current[key] = al
             out[si] = AlignmentColumns.from_tuples(
                 [current[k] for k in sorted(current)])
+        return out
+
+    def _align_subpaths_batch_native(self, graph, paths, bundle):
+        from ..native import query_windows_batch
+        from ..ops.extend import extend_staged, stage_candidates_uniform
+
+        rl = self.index.read_len
+        out: List[AlignmentColumns] = [None] * len(paths)
+        seqs: List[np.ndarray] = []
+        offsets: List[int] = []
+        keep: List[int] = []
+        for si, path in enumerate(paths):
+            seq, offset = spell_subpath(graph, path)
+            if len(seq) < rl or rl == 0:
+                out[si] = _EMPTY_COLUMNS_ALIGNER
+                continue
+            keep.append(si)
+            seqs.append(np.ascontiguousarray(seq, dtype=np.uint8))
+            offsets.append(offset)
+        if not keep:
+            return out
+
+        qs = query_windows_batch(bundle, seqs)
+        counts = np.array([len(q[0]) for q in qs], dtype=np.int64)
+        spans = np.zeros(len(qs) + 1, dtype=np.int64)
+        np.cumsum(counts, out=spans[1:])
+        if spans[-1] == 0:
+            for si in keep:
+                out[si] = _EMPTY_COLUMNS_ALIGNER
+            return out
+        rid = np.concatenate([q[0] for q in qs])
+        g0 = np.concatenate([q[1] for q in qs])
+        r0 = np.concatenate([q[2] for q in qs])
+        orient = np.concatenate([q[3] for q in qs])
+        seq_idx = np.repeat(np.arange(len(qs), dtype=np.int64), counts)
+        seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        seq_base = np.zeros(len(seqs), dtype=np.int64)
+        np.cumsum(seq_lens[:-1], out=seq_base[1:])
+        seq_buf = np.concatenate(seqs)
+        rows = bundle.row_of[rid]
+
+        if self.backend == "device":
+            # device-resident path: read matrices live on the chip, the
+            # call ships only window bytes + 20 B/candidate metadata
+            ext = getattr(self, "_device_extender", None)
+            if ext is None:
+                from ..ops.extend_device import DeviceExtender
+
+                ext = self._device_extender = DeviceExtender(
+                    bundle.codes_fwd, bundle.codes_rc)
+            ok, errs, begin = ext.run(seq_buf, seq_base, seq_lens, seq_idx,
+                                      g0, r0, rows, orient)
+        else:
+            st = stage_candidates_uniform(
+                seq_buf, seq_base, seq_lens, seq_idx, g0, r0, rows, orient,
+                bundle.codes_fwd, bundle.codes_rc, read_ids=rid)
+            ok, errs, begin = extend_staged(st, use_pallas=False)
+
+        off_arr = np.asarray(offsets, dtype=np.int64)
+        pos_all = begin.astype(np.int64) + 1 + off_arr[seq_idx]
+        for w, si in enumerate(keep):
+            a, b = int(spans[w]), int(spans[w + 1])
+            m = ok[a:b]
+            if not m.any():
+                out[si] = _EMPTY_COLUMNS_ALIGNER
+                continue
+            pos_w = pos_all[a:b][m].astype(np.int32)
+            rid_w = rid[a:b][m]
+            ed_w = errs[a:b][m]
+            or_w = orient[a:b][m]
+            # first-wins (position, rid) dedup in emission order, output
+            # sorted by (position, rid) — the set<Aligment> semantics
+            order = np.lexsort((np.arange(len(pos_w)), rid_w, pos_w))
+            ps, rs = pos_w[order], rid_w[order]
+            first = np.ones(len(ps), dtype=bool)
+            first[1:] = (ps[1:] != ps[:-1]) | (rs[1:] != rs[:-1])
+            sel = order[first]
+            out[si] = AlignmentColumns(pos_w[sel], ed_w[sel], rid_w[sel],
+                                       or_w[sel])
         return out
 
     def align_seq(self, seq: np.ndarray, offset: int = 0) -> AlignmentColumns:

@@ -95,6 +95,21 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.query_window.restype = ctypes.c_int64
+        lib.query_window.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.query_windows_batch.restype = None
+        lib.query_windows_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.coverage_sweep.restype = ctypes.c_int64
         lib.coverage_sweep.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -319,6 +334,76 @@ def align_window(bundle: NativeAlignBundle, seq: np.ndarray, offset: int):
         cap = int(n) + 64
     return (out_pos[:n].copy(), out_ed[:n].copy(), out_rid[:n].copy(),
             out_or[:n].copy())
+
+
+def query_window_native(bundle: NativeAlignBundle, seq: np.ndarray):
+    """Native candidate query for one window (no extension): returns
+    (rid, g0, r0, orient) int32 arrays in the aligner's candidate order."""
+    lib = get_lib()
+    assert lib is not None
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    cap = 4 * len(seq) + 1024
+    while True:
+        out = [np.empty(cap, dtype=np.int32) for _ in range(4)]
+        n = lib.query_window(
+            seq.ctypes.data, len(seq), bundle.read_len,
+            bundle.fp_sorted.ctypes.data, bundle.fp_off.ctypes.data,
+            bundle.fp_rids.ctypes.data, len(bundle.fp_sorted),
+            bundle.seed_pos.ctypes.data, bundle.row_of.ctypes.data,
+            out[0].ctypes.data, out[1].ctypes.data, out[2].ctypes.data,
+            out[3].ctypes.data, cap)
+        if n <= cap:
+            break
+        cap = int(n) + 64
+    return tuple(o[:n].copy() for o in out)
+
+
+_QUERY_POOL = None
+
+
+def query_windows_batch(bundle: NativeAlignBundle, seqs: List[np.ndarray]):
+    """Candidate queries for many windows in one native call
+    (OpenMP-parallel).  Returns a list of (rid, g0, r0, orient) tuples
+    parallel to ``seqs`` — the device backend's host-side candidate
+    generation."""
+    lib = get_lib()
+    assert lib is not None
+    n_win = len(seqs)
+    if n_win == 0:
+        return []
+    seq_buf = np.concatenate([np.ascontiguousarray(s, dtype=np.uint8)
+                              for s in seqs])
+    seq_len = np.array([len(s) for s in seqs], dtype=np.int64)
+    seq_off = np.zeros(n_win, dtype=np.int64)
+    np.cumsum(seq_len[:-1], out=seq_off[1:])
+    caps = 4 * seq_len + 1024
+    out_off = np.zeros(n_win + 1, dtype=np.int64)
+    np.cumsum(caps, out=out_off[1:])
+    total = int(out_off[-1])
+    pool = _QUERY_POOL
+    if pool is None or len(pool[0]) < total:
+        pool = tuple(np.empty(total, dtype=np.int32) for _ in range(4))
+        globals()["_QUERY_POOL"] = pool
+    out_rid, out_g0, out_r0, out_or = pool
+    out_ns = np.zeros(n_win, dtype=np.int64)
+    lib.query_windows_batch(
+        seq_buf.ctypes.data, seq_off.ctypes.data, seq_len.ctypes.data,
+        n_win, bundle.read_len,
+        bundle.fp_sorted.ctypes.data, bundle.fp_off.ctypes.data,
+        bundle.fp_rids.ctypes.data, len(bundle.fp_sorted),
+        bundle.seed_pos.ctypes.data, bundle.row_of.ctypes.data,
+        out_off.ctypes.data, out_rid.ctypes.data, out_g0.ctypes.data,
+        out_r0.ctypes.data, out_or.ctypes.data, out_ns.ctypes.data)
+    results = []
+    for i in range(n_win):
+        n = int(out_ns[i])
+        if n > int(caps[i]):  # overflow: redo this window alone
+            results.append(query_window_native(bundle, seqs[i]))
+            continue
+        a, b = int(out_off[i]), int(out_off[i]) + n
+        results.append((out_rid[a:b].copy(), out_g0[a:b].copy(),
+                        out_r0[a:b].copy(), out_or[a:b].copy()))
+    return results
 
 
 _BATCH_POOL = None

@@ -273,18 +273,15 @@ struct WinAl {
   int32_t ed, orient;
 };
 
-static int64_t align_window_impl(
-    const uint8_t* seq, int64_t glen, int32_t read_len, int32_t offset,
+// Candidate collection shared by the full window aligner and the
+// extension-free query used by the device backend: max-hash window query
+// on both strands + fingerprint lookup.  Fills (rid, signed seed pos)
+// stable-sorted by rid — this reproduces the reference rid-ascending map
+// iteration with per-rid insertion order (fwd hits first, then rc).
+static void collect_window_cands(
+    const uint8_t* seq, int64_t glen, int32_t read_len,
     const uint64_t* fp_sorted, const int64_t* fp_off, const int32_t* fp_rids,
-    int64_t n_fp,
-    const uint8_t* codes_fwd, const uint8_t* codes_rc, int64_t stride,
-    const int32_t* seed_pos,  // [R, 2] row-major (fwd, rc)
-    const int32_t* row_of,    // rid -> row index in the matrices
-    int32_t* out_pos, int32_t* out_ed, int32_t* out_rid, int32_t* out_or,
-    int64_t cap) {
-  const int K = 15;
-  if (glen < read_len || read_len == 0) return 0;
-  // both strands' collapsed window fingerprints
+    int64_t n_fp, std::vector<std::pair<int32_t, int64_t>>& cands) {
   static thread_local std::vector<int32_t> pos_buf;
   static thread_local std::vector<uint64_t> hash_buf;
   if ((int64_t)pos_buf.size() < glen) {
@@ -293,13 +290,7 @@ static int64_t align_window_impl(
   }
   int64_t n_fwd = maxhash_window_query(seq, glen, read_len, hash_buf.data(),
                                        pos_buf.data(), glen);
-  // candidates as (rid, seq#, signed seed pos); stable-sorted by rid this
-  // reproduces the reference rid-ascending map iteration with per-rid
-  // insertion order (fwd hits first, then rc)
-  static thread_local std::vector<std::pair<int32_t, int64_t>> cands;
-  cands.clear();
   auto lookup = [&](uint64_t mh, int64_t signed_pos) {
-    // binary search in fp_sorted
     int64_t lo = 0, hi = n_fp;
     while (lo < hi) {
       int64_t mid = (lo + hi) / 2;
@@ -329,6 +320,23 @@ static int64_t align_window_impl(
                       const std::pair<int32_t, int64_t>& b) {
                      return a.first < b.first;
                    });
+}
+
+static int64_t align_window_impl(
+    const uint8_t* seq, int64_t glen, int32_t read_len, int32_t offset,
+    const uint64_t* fp_sorted, const int64_t* fp_off, const int32_t* fp_rids,
+    int64_t n_fp,
+    const uint8_t* codes_fwd, const uint8_t* codes_rc, int64_t stride,
+    const int32_t* seed_pos,  // [R, 2] row-major (fwd, rc)
+    const int32_t* row_of,    // rid -> row index in the matrices
+    int32_t* out_pos, int32_t* out_ed, int32_t* out_rid, int32_t* out_or,
+    int64_t cap) {
+  const int K = 15;
+  if (glen < read_len || read_len == 0) return 0;
+  static thread_local std::vector<std::pair<int32_t, int64_t>> cands;
+  cands.clear();
+  collect_window_cands(seq, glen, read_len, fp_sorted, fp_off, fp_rids, n_fp,
+                       cands);
 
   // extension per candidate, dedup first-wins by (position, rid)
   int32_t max_rlen = read_len;
@@ -426,6 +434,73 @@ void align_windows_batch(
         fp_off, fp_rids, n_fp, codes_fwd, codes_rc, stride, seed_pos, row_of,
         out_pos + out_off[i], out_ed + out_off[i], out_rid + out_off[i],
         out_or + out_off[i], cap);
+  }
+}
+
+// Extension-free candidate query for one window: emits per-candidate
+// (rid, g0, r0, orient) for the device extend kernel (the device
+// backend's host side — candidate semantics identical to the bfs
+// backend's, reference graph.cc:858-884).  Returns count (may exceed
+// cap; caller retries with a bigger buffer).
+static int64_t query_window_impl(
+    const uint8_t* seq, int64_t glen, int32_t read_len,
+    const uint64_t* fp_sorted, const int64_t* fp_off, const int32_t* fp_rids,
+    int64_t n_fp, const int32_t* seed_pos, const int32_t* row_of,
+    int32_t* out_rid, int32_t* out_g0, int32_t* out_r0, int32_t* out_or,
+    int64_t cap) {
+  const int K = 15;
+  if (glen < read_len || read_len == 0) return 0;
+  static thread_local std::vector<std::pair<int32_t, int64_t>> cands;
+  cands.clear();
+  collect_window_cands(seq, glen, read_len, fp_sorted, fp_off, fp_rids, n_fp,
+                       cands);
+  int64_t n = (int64_t)cands.size();
+  int64_t m = n < cap ? n : cap;
+  for (int64_t i = 0; i < m; i++) {
+    int32_t rid = cands[i].first;
+    int64_t e2 = cands[i].second;
+    int32_t row = row_of[rid];
+    out_rid[i] = rid;
+    if (e2 > 0) {
+      out_g0[i] = (int32_t)(e2 - K + 1);
+      out_r0[i] = seed_pos[2 * row];
+      out_or[i] = 0;
+    } else {
+      out_g0[i] = (int32_t)(glen + e2 - 1);
+      out_r0[i] = seed_pos[2 * row + 1];
+      out_or[i] = 1;
+    }
+  }
+  return n;
+}
+
+int64_t query_window(
+    const uint8_t* seq, int64_t glen, int32_t read_len,
+    const uint64_t* fp_sorted, const int64_t* fp_off, const int32_t* fp_rids,
+    int64_t n_fp, const int32_t* seed_pos, const int32_t* row_of,
+    int32_t* out_rid, int32_t* out_g0, int32_t* out_r0, int32_t* out_or,
+    int64_t cap) {
+  return query_window_impl(seq, glen, read_len, fp_sorted, fp_off, fp_rids,
+                           n_fp, seed_pos, row_of, out_rid, out_g0, out_r0,
+                           out_or, cap);
+}
+
+// Many windows' candidate queries in one call, OpenMP-parallel (windows
+// independent, private output slices).
+void query_windows_batch(
+    const uint8_t* seq_buf, const int64_t* seq_off, const int64_t* seq_len,
+    int32_t n_win, int32_t read_len,
+    const uint64_t* fp_sorted, const int64_t* fp_off, const int32_t* fp_rids,
+    int64_t n_fp, const int32_t* seed_pos, const int32_t* row_of,
+    const int64_t* out_off, int32_t* out_rid, int32_t* out_g0,
+    int32_t* out_r0, int32_t* out_or, int64_t* out_ns) {
+#pragma omp parallel for schedule(dynamic)
+  for (int32_t i = 0; i < n_win; i++) {
+    int64_t cap = out_off[i + 1] - out_off[i];
+    out_ns[i] = query_window_impl(
+        seq_buf + seq_off[i], seq_len[i], read_len, fp_sorted, fp_off,
+        fp_rids, n_fp, seed_pos, row_of, out_rid + out_off[i],
+        out_g0 + out_off[i], out_r0 + out_off[i], out_or + out_off[i], cap);
   }
 }
 

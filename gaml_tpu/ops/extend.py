@@ -218,6 +218,135 @@ def stage_candidates(seq: np.ndarray, g0s: np.ndarray, r0s: np.ndarray,
     }
 
 
+def stage_candidates_uniform(seq_buf: np.ndarray, seq_base: np.ndarray,
+                             seq_lens: np.ndarray, seq_idx: np.ndarray,
+                             g0s: np.ndarray, r0s: np.ndarray,
+                             rows: np.ndarray, orient: np.ndarray,
+                             codes_fwd: np.ndarray, codes_rc: np.ndarray,
+                             read_ids: np.ndarray = None,
+                             rmax: int = None, nb: int = None):
+    """Fully-vectorized staging for uniform-length reads straight from
+    candidate arrays (the native query_windows_batch output) and the
+    bundle's read-code matrices — no per-candidate Python loop.
+
+    seq_buf: concatenated window sequences; seq_base/seq_lens: per-window
+    offset/length; seq_idx: per-candidate window index; rows: per-candidate
+    row into codes_fwd/codes_rc; orient: 0 fwd / 1 rc.  Bit-identical
+    arrays to stage_candidates over the same candidates (tested)."""
+    n = len(g0s)
+    L = codes_fwd.shape[1] if codes_fwd.ndim == 2 else 0
+    if rmax is None:
+        rmax_needed = max(int((L - r0s - K).max(initial=1)),
+                          int(r0s.max(initial=1)), 1)
+        rmax = _round_up(rmax_needed, 32)
+    if nb is None:
+        nb = _round_up(max(n, 1), 128)
+
+    read_f = np.full((nb, rmax), SENT_READ, dtype=np.uint8)
+    read_b = np.full((nb, rmax), SENT_READ, dtype=np.uint8)
+    gwin_f = np.full((nb, rmax + 2 * PAD), SENT_GEN, dtype=np.uint8)
+    gwin_b = np.full((nb, rmax + 2 * PAD), SENT_GEN, dtype=np.uint8)
+    rlen_f = np.zeros(nb, dtype=np.int32)
+    rlen_b = np.zeros(nb, dtype=np.int32)
+    glen_f = np.zeros(nb, dtype=np.int32)
+    glen_b = np.zeros(nb, dtype=np.int32)
+
+    if n:
+        g0s = np.asarray(g0s, dtype=np.int64)
+        r0s = np.asarray(r0s, dtype=np.int64)
+        oriented = np.where((orient == 1)[:, None], codes_rc[rows],
+                            codes_fwd[rows])  # [n, L]
+        glens = seq_lens[seq_idx]
+        bases = seq_base[seq_idx]
+        at_start = g0s == 0
+        j = np.arange(rmax)
+
+        # forward: read suffix after the seed vs genome from seed end
+        cols = (r0s + K)[:, None] + j[None, :]
+        sel = cols < L
+        read_f[:n] = np.where(
+            sel, np.take_along_axis(oriented, np.minimum(cols, L - 1),
+                                    axis=1), SENT_READ)
+        rlen_f[:n] = (L - r0s - K).astype(np.int32)
+        glen_f[:n] = (glens - (g0s + K)).astype(np.int32)
+        jj = np.arange(rmax + 2 * PAD)
+        p = (g0s + K - PAD)[:, None] + jj[None, :]
+        inb = (p >= 0) & (p < glens[:, None])
+        pg = np.minimum(np.maximum(bases[:, None] + p, 0), len(seq_buf) - 1)
+        gwin_f[:n] = np.where(inb, seq_buf[pg], SENT_GEN)
+
+        # backward: reversed read prefix vs reversed genome prefix
+        bsel = ~at_start
+        cols_b = r0s[:, None] - 1 - j[None, :]
+        sel_b = (cols_b >= 0) & bsel[:, None]
+        read_b[:n] = np.where(
+            sel_b, np.take_along_axis(oriented, np.maximum(cols_b, 0),
+                                      axis=1), SENT_READ)
+        rlen_b[:n] = np.where(bsel, r0s, 0).astype(np.int32)
+        glen_b[:n] = np.where(bsel, g0s, 0).astype(np.int32)
+        pb = g0s[:, None] - 1 - (jj[None, :] - PAD)
+        inb_b = (jj[None, :] >= PAD) & (pb >= 0) & bsel[:, None]
+        pgb = np.minimum(np.maximum(bases[:, None] + pb, 0),
+                         len(seq_buf) - 1)
+        gwin_b[:n] = np.where(inb_b, seq_buf[pgb], SENT_GEN)
+
+    g0_pad = np.zeros(nb, dtype=np.int32)
+    r0_pad = np.zeros(nb, dtype=np.int32)
+    rlen_pad = np.zeros(nb, dtype=np.int32)
+    g0_pad[:n] = g0s
+    r0_pad[:n] = r0s
+    rlen_pad[:n] = L
+    valid = np.zeros(nb, dtype=bool)
+    valid[:n] = True
+    rid_pad = np.zeros(nb, dtype=np.int32)
+    if read_ids is not None:
+        rid_pad[:n] = read_ids
+    return {
+        "read_f": read_f, "rlen_f": rlen_f, "gwin_f": gwin_f, "glen_f": glen_f,
+        "read_b": read_b, "rlen_b": rlen_b, "gwin_b": gwin_b, "glen_b": glen_b,
+        "g0": g0_pad, "r0": r0_pad, "read_len": rlen_pad, "valid": valid,
+        "at_start": g0_pad == 0 if n else np.zeros(nb, dtype=bool),
+        "read_id": rid_pad, "rmax": rmax, "n": n,
+    }
+
+
+def extend_staged(st, use_pallas: bool = None):
+    """Run the extension kernel on a staged dict; returns (ok, errs, begin)
+    numpy arrays for the n real candidates."""
+    import jax
+
+    n = st["n"]
+    if n == 0:
+        return (np.zeros(0, bool), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+    if use_pallas:
+        from .extend_pallas import extend_kernel_pallas
+
+        ok, errs, d_back = extend_kernel_pallas(st)
+    else:
+        ok, errs, d_back = extend_kernel(
+            jnp.asarray(st["read_f"]), jnp.asarray(st["rlen_f"]),
+            jnp.asarray(st["gwin_f"]), jnp.asarray(st["glen_f"]),
+            jnp.asarray(st["read_b"]), jnp.asarray(st["rlen_b"]),
+            jnp.asarray(st["gwin_b"]), jnp.asarray(st["glen_b"]), st["rmax"])
+        ok = np.asarray(ok)
+        errs = np.asarray(errs)
+        d_back = np.asarray(d_back)
+    ok = ok[:n]
+    errs = errs[:n].astype(np.int32)
+    d_back = np.asarray(d_back)[:n]
+    g0s = st["g0"][:n].astype(np.int64)
+    r0s = st["r0"][:n].astype(np.int64)
+    begin = (g0s - r0s - d_back).astype(np.int32)
+    at_start = g0s == 0
+    ok = np.where(at_start, ok & (r0s < 6), ok)
+    errs = np.where(at_start, errs + r0s, errs).astype(np.int32)
+    begin = np.where(at_start, -1, begin)
+    return ok, errs, begin
+
+
 def batch_extend_arrays(seq: np.ndarray, g0s: np.ndarray, r0s: np.ndarray,
                         reads: List[np.ndarray]):
     """Host staging + kernel run.  Returns (ok, errs, begin) numpy arrays

@@ -1,0 +1,196 @@
+"""Device-resident staging + extension for the device backend.
+
+The naive device path staged every candidate's read and genome window on
+host and shipped [N, rmax]-shaped arrays to the chip — hundreds of MB per
+cold rescore through the remote tunnel.  TPU-natively, the per-read code
+matrices are *resident* on the device (uploaded once per read set), and a
+rescore ships only:
+
+- the concatenated window sequence bytes (the walk content actually being
+  scored), and
+- 20 bytes per candidate of metadata (window index, g0, r0, row, orient).
+
+Staging (read-suffix/prefix views, genome windows) happens on device as
+gathers inside the same jit that runs the banded-extension DP, so XLA
+fuses it all into one dispatch.  Outputs (ok, errs, begin) are bit-equal
+to the host-staged path (ops.extend.stage_candidates_uniform +
+extend_staged) — tested in tests/test_device_candgen.py.
+
+Shapes are bucketed (candidates to powers of two >= 512, sequence bytes
+to powers of two >= 4096) so the compile count stays logarithmic; the
+persistent JAX compilation cache makes recompiles a per-machine one-time
+cost.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .extend import ERROR_LIMIT, K, PAD, SENT_GEN, SENT_READ
+
+LANES = 128
+
+
+def _bucket_pow2(n: int, lo: int) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+_CACHE_SET = False
+
+
+def _enable_compile_cache():
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    _CACHE_SET = True
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("GAML_JAX_CACHE", "/tmp/gaml_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: cache flags unavailable
+
+
+class DeviceExtender:
+    """Per-read-set device extension engine with resident read matrices."""
+
+    def __init__(self, codes_fwd: np.ndarray, codes_rc: np.ndarray):
+        import jax
+        import jax.numpy as jnp
+
+        _enable_compile_cache()
+        self.L = int(codes_fwd.shape[1])
+        rmax_needed = max(self.L - K, 1)
+        self.rmax = ((rmax_needed + 31) // 32) * 32
+        self.codes_fwd = jax.device_put(jnp.asarray(codes_fwd))
+        self.codes_rc = jax.device_put(jnp.asarray(codes_rc))
+        self._fns = {}
+
+    # ----------------------------------------------------------- jit body
+    def _make(self, n_pad: int, s_pad: int, use_pallas: bool):
+        import jax
+        import jax.numpy as jnp
+
+        L = self.L
+        rmax = self.rmax
+        codes_fwd = self.codes_fwd
+        codes_rc = self.codes_rc
+
+        def fused(seq_buf, base, glen_c, g0, r0, rows, orient):
+            j = jnp.arange(rmax)
+            jj = jnp.arange(rmax + 2 * PAD)
+            oriented = jnp.where((orient == 1)[:, None], codes_rc[rows],
+                                 codes_fwd[rows]).astype(jnp.int32)
+            # forward: read suffix after the seed vs genome from seed end
+            cols = (r0 + K)[:, None] + j[None, :]
+            sel = cols < L
+            read_f = jnp.where(
+                sel, jnp.take_along_axis(oriented, jnp.minimum(cols, L - 1),
+                                         axis=1), SENT_READ)
+            rlen_f = (L - r0 - K).astype(jnp.int32)
+            glen_f = (glen_c - (g0 + K)).astype(jnp.int32)
+            p = (g0 + K - PAD)[:, None] + jj[None, :]
+            inb = (p >= 0) & (p < glen_c[:, None])
+            pg = jnp.clip(base[:, None] + p, 0, s_pad - 1)
+            gwin_f = jnp.where(inb, seq_buf[pg].astype(jnp.int32), SENT_GEN)
+            # backward: reversed read prefix vs reversed genome prefix
+            at_start = g0 == 0
+            bsel = ~at_start
+            cols_b = r0[:, None] - 1 - j[None, :]
+            sel_b = (cols_b >= 0) & bsel[:, None]
+            read_b = jnp.where(
+                sel_b, jnp.take_along_axis(oriented, jnp.maximum(cols_b, 0),
+                                           axis=1), SENT_READ)
+            rlen_b = jnp.where(bsel, r0, 0).astype(jnp.int32)
+            glen_b = jnp.where(bsel, g0, 0).astype(jnp.int32)
+            pb = g0[:, None] - 1 - (jj[None, :] - PAD)
+            inb_b = (jj[None, :] >= PAD) & (pb >= 0) & bsel[:, None]
+            pgb = jnp.clip(base[:, None] + pb, 0, s_pad - 1)
+            gwin_b = jnp.where(inb_b, seq_buf[pgb].astype(jnp.int32),
+                               SENT_GEN)
+
+            if use_pallas:
+                from .extend_pallas import dp_rows_pallas
+
+                cf, _af = dp_rows_pallas(read_f.T, gwin_f.T,
+                                         rlen_f[None, :], glen_f[None, :],
+                                         rmax)
+                cb, ab = dp_rows_pallas(read_b.T, gwin_b.T,
+                                        rlen_b[None, :], glen_b[None, :],
+                                        rmax)
+                ok = (cf <= ERROR_LIMIT) & (cb <= ERROR_LIMIT)
+                errs = cf + cb
+                d_back = ab
+            else:
+                from .extend import _dp_rows
+
+                c0f, _a0f = _dp_rows(read_f.astype(jnp.uint8), rlen_f,
+                                     gwin_f.astype(jnp.uint8), glen_f, rmax)
+                c0b, a0b = _dp_rows(read_b.astype(jnp.uint8), rlen_b,
+                                    gwin_b.astype(jnp.uint8), glen_b, rmax)
+                ok = (c0f[:, 3] <= ERROR_LIMIT) & (c0b[:, 3] <= ERROR_LIMIT)
+                errs = c0f[:, 3] + c0b[:, 3]
+                d_back = a0b[:, 3]
+
+            begin = g0 - r0 - d_back
+            ok = jnp.where(at_start, ok & (r0 < 6), ok)
+            errs = jnp.where(at_start, errs + r0, errs)
+            begin = jnp.where(at_start, -1, begin)
+            return ok, errs.astype(jnp.int32), begin.astype(jnp.int32)
+
+        return jax.jit(fused)
+
+    # --------------------------------------------------------------- run
+    def run(self, seq_buf: np.ndarray, seq_base: np.ndarray,
+            seq_lens: np.ndarray, seq_idx: np.ndarray, g0: np.ndarray,
+            r0: np.ndarray, rows: np.ndarray, orient: np.ndarray,
+            use_pallas: bool = None):
+        """Returns (ok, errs, begin) numpy arrays for the N candidates."""
+        import jax
+
+        n = len(g0)
+        if n == 0:
+            return (np.zeros(0, bool), np.zeros(0, np.int32),
+                    np.zeros(0, np.int32))
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform not in ("cpu",) and \
+                os.environ.get("GAML_USE_PALLAS", "1") == "1"
+        n_pad = _bucket_pow2(max(n, 1), 512)
+        s_pad = _bucket_pow2(len(seq_buf) + 1, 4096)
+
+        buf = np.zeros(s_pad, dtype=np.uint8)
+        buf[:len(seq_buf)] = seq_buf
+
+        def pad32(a, fill=0):
+            out = np.full(n_pad, fill, dtype=np.int32)
+            out[:n] = a
+            return out
+
+        base_c = pad32(seq_base[seq_idx])
+        glen_c = pad32(seq_lens[seq_idx])
+        # pad rows stage as zero-length reads against empty genome: rlen_f
+        # = L - r0 - K with r0 = L - K makes them cost-0 no-ops
+        g0_p = pad32(g0, 1)
+        r0_p = pad32(r0, max(self.L - K, 0))
+        rows_p = pad32(rows)
+        or_p = pad32(orient)
+
+        key = (n_pad, s_pad, bool(use_pallas))
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = self._make(n_pad, s_pad, use_pallas)
+        import jax.numpy as jnp
+
+        ok, errs, begin = fn(jnp.asarray(buf), jnp.asarray(base_c),
+                             jnp.asarray(glen_c), jnp.asarray(g0_p),
+                             jnp.asarray(r0_p), jnp.asarray(rows_p),
+                             jnp.asarray(or_p))
+        return (np.asarray(ok)[:n], np.asarray(errs)[:n],
+                np.asarray(begin)[:n])

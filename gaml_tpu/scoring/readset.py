@@ -17,6 +17,7 @@ Coordinate conventions (critical for parity):
 """
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
@@ -52,6 +53,11 @@ class ReadSet:
         self.mismatch_prob = mismatch_prob
         self.backend = backend
         self.index_kind = index_kind
+        # device-backend latency hybrid: miss batches whose estimated
+        # window bases fall below this go to the native aligner instead of
+        # paying a chip round trip (bit-identical results either way)
+        self._dev_min_bases = int(os.environ.get("GAML_DEV_MIN_BASES",
+                                                 "200000"))
 
         self.reads_num = 0
         self.read_map: Dict[str, int] = {}
@@ -509,31 +515,46 @@ class ReadSet:
             self.cache_version += 1
         for sp in subpaths:
             self.aligment_cache[sp] = _EMPTY_COLUMNS
-        if self.backend == "device" and len(subpaths) > 1:
+        bundle = getattr(self.aligner, "native_bundle", None)
+        if self.backend == "device" and len(subpaths) >= 1:
+            # latency hybrid: the device extension is bit-equal to the
+            # native BFS per window (tests/test_device_candgen.py), so
+            # tiny miss batches — whose native cost is far below one chip
+            # round trip — route to the native aligner; bulk batches go
+            # to the kernel.  GAML_DEV_MIN_BASES=0 forces all-device.
+            if bundle is not None and self._dev_min_bases > 0:
+                node_len = graph.node_len
+                est = sum(min(node_len(e), 300) for sp in subpaths
+                          for e in sp)
+                if est < self._dev_min_bases:
+                    self._precompute_native_batch(graph, subpaths, bundle)
+                    return
             results = self.aligner.align_subpaths_batch(graph, list(subpaths))
             for sp, als in zip(subpaths, results):
                 self.aligment_cache[sp] = als
             return
-        bundle = getattr(self.aligner, "native_bundle", None)
         if bundle is not None and self.backend == "bfs" and len(subpaths) > 1:
-            # one native call, OpenMP-parallel across windows
-            from ..align.aligner import spell_subpath
-            from ..native import align_windows_batch
-
-            rl = self.aligner.index.read_len
-            todo = []
-            for sp in subpaths:
-                seq, offset = spell_subpath(graph, sp)
-                if rl > 0 and len(seq) >= rl:
-                    todo.append((sp, seq, offset))
-            for (sp, _s, _o), res in zip(
-                    todo, align_windows_batch(bundle,
-                                              [t[1] for t in todo],
-                                              [t[2] for t in todo])):
-                self.aligment_cache[sp] = AlignmentColumns(*res)
+            self._precompute_native_batch(graph, subpaths, bundle)
             return
         for sp in subpaths:
             self.aligment_cache[sp] = self.aligner.align_subpath(graph, sp)
+
+    def _precompute_native_batch(self, graph, subpaths, bundle) -> None:
+        """One native call, OpenMP-parallel across windows."""
+        from ..align.aligner import spell_subpath
+        from ..native import align_windows_batch
+
+        rl = self.aligner.index.read_len
+        todo = []
+        for sp in subpaths:
+            seq, offset = spell_subpath(graph, sp)
+            if rl > 0 and len(seq) >= rl:
+                todo.append((sp, seq, offset))
+        for (sp, _s, _o), res in zip(
+                todo, align_windows_batch(bundle,
+                                          [t[1] for t in todo],
+                                          [t[2] for t in todo])):
+            self.aligment_cache[sp] = AlignmentColumns(*res)
 
     def get_alignment_for_subpath(self, subpath: Subpath) -> AlignmentColumns:
         """Cache lookup; empty on miss (reference graph.cc:1463-1480)."""
@@ -958,6 +979,14 @@ class ReadSet:
         if self._advice_index_built:
             return
         self._advice_index_built = True
+        # batch-precompute every long node's window in one aligner call
+        # (otherwise each node pays its own dispatch — ruinous on the
+        # device backend where a call is a chip round trip)
+        todo = [(i,) for i in range(graph.num_nodes)
+                if graph.node_len(i) > threshold
+                and (i,) not in self.aligment_cache]
+        if todo:
+            self.precompute_alignment_for_subpaths(graph, todo)
         for i in range(graph.num_nodes):
             if graph.node_len(i) > threshold:
                 positions: Dict[int, List[Alignment]] = {}

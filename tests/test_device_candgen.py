@@ -1,0 +1,131 @@
+"""Native candidate generation + vectorized staging for the device
+backend: must match the Python gen_candidates / python-staged batch path
+exactly (VERDICT round-1 item 3: move candidate generation off Python)."""
+import numpy as np
+
+from gaml_tpu.align.aligner import gen_candidates, spell_subpath
+from gaml_tpu.native import get_lib, query_windows_batch
+
+from fixtures import make_linear_graph, sample_reads
+from test_scoring import make_readset
+
+import pytest
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native library unavailable")
+
+
+def _world(tmp_path):
+    rng = np.random.default_rng(42)
+    gr, seqs = make_linear_graph(rng, [500, 90, 450, 120, 400])
+    genome = "".join(seqs)
+    reads = sample_reads(rng, genome, 60, 30, err_rate=0.02)
+    rs = make_readset(tmp_path, reads, "qw")
+    return gr, rs
+
+
+def test_query_matches_python_gen_candidates(tmp_path):
+    gr, rs = _world(tmp_path)
+    bundle = rs.aligner.native_bundle
+    assert bundle is not None
+    windows = [(0,), (0, 2), (2, 4, 6), (4, 6, 8), (8,)]
+    seqs = [np.ascontiguousarray(spell_subpath(gr, w)[0], dtype=np.uint8)
+            for w in windows]
+    native = query_windows_batch(bundle, seqs)
+    for seq, (rid, g0, r0, orient) in zip(seqs, native):
+        cands = gen_candidates(rs.aligner.index, rs.aligner.read_seqs, seq,
+                               rs.aligner._read_cache)
+        assert len(cands) == len(rid)
+        for i, (c, _read) in enumerate(cands):
+            assert (c.read_id, c.genome_pos, c.read_pos, c.orientation) == \
+                (rid[i], g0[i], r0[i], orient[i]), (i, c)
+
+
+def test_native_batch_path_matches_python_batch_path(tmp_path):
+    gr, rs = _world(tmp_path)
+    aligner = rs.aligner
+    windows = [(0,), (0, 2), (2, 4, 6), (4, 6, 8), (8,), (6, 8)]
+    native_out = aligner.align_subpaths_batch(gr, list(windows))
+    bundle = aligner.native_bundle
+    aligner.native_bundle = None
+    try:
+        py_out = aligner.align_subpaths_batch(gr, list(windows))
+    finally:
+        aligner.native_bundle = bundle
+    for w, (a, b) in zip(windows, zip(native_out, py_out)):
+        assert np.array_equal(a.position, b.position), w
+        assert np.array_equal(a.edit_dist, b.edit_dist), w
+        assert np.array_equal(a.read_id, b.read_id), w
+        assert np.array_equal(a.orientation, b.orientation), w
+
+
+def test_device_extender_matches_host_staging(tmp_path):
+    """The device-resident stage+extend (gathers on device) must be
+    bit-equal to the host-staged extension path."""
+    from gaml_tpu.ops.extend import extend_staged, stage_candidates_uniform
+    from gaml_tpu.ops.extend_device import DeviceExtender
+
+    gr, rs = _world(tmp_path)
+    bundle = rs.aligner.native_bundle
+    windows = [(0,), (0, 2), (2, 4, 6), (4, 6, 8), (0, 2, 4, 6, 8)]
+    seqs = [np.ascontiguousarray(spell_subpath(gr, w)[0], dtype=np.uint8)
+            for w in windows]
+    qs = query_windows_batch(bundle, seqs)
+    counts = np.array([len(q[0]) for q in qs])
+    rid = np.concatenate([q[0] for q in qs])
+    g0 = np.concatenate([q[1] for q in qs])
+    r0 = np.concatenate([q[2] for q in qs])
+    orient = np.concatenate([q[3] for q in qs])
+    seq_idx = np.repeat(np.arange(len(qs)), counts)
+    seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    seq_base = np.zeros(len(seqs), dtype=np.int64)
+    np.cumsum(seq_lens[:-1], out=seq_base[1:])
+    seq_buf = np.concatenate(seqs)
+    rows = bundle.row_of[rid]
+
+    st = stage_candidates_uniform(seq_buf, seq_base, seq_lens, seq_idx,
+                                  g0, r0, rows, orient, bundle.codes_fwd,
+                                  bundle.codes_rc, read_ids=rid)
+    ok_h, errs_h, begin_h = extend_staged(st, use_pallas=False)
+
+    ext = DeviceExtender(bundle.codes_fwd, bundle.codes_rc)
+    ok_d, errs_d, begin_d = ext.run(seq_buf, seq_base, seq_lens, seq_idx,
+                                    g0, r0, rows, orient, use_pallas=False)
+    assert np.array_equal(ok_h, ok_d)
+    assert np.array_equal(errs_h, errs_d)
+    assert np.array_equal(begin_h, begin_d)
+
+
+def test_stage_uniform_matches_stage_candidates(tmp_path):
+    from gaml_tpu.ops.extend import stage_candidates, stage_candidates_uniform
+
+    gr, rs = _world(tmp_path)
+    bundle = rs.aligner.native_bundle
+    windows = [(0, 2), (2, 4, 6)]
+    seqs = [np.ascontiguousarray(spell_subpath(gr, w)[0], dtype=np.uint8)
+            for w in windows]
+    qs = query_windows_batch(bundle, seqs)
+    counts = np.array([len(q[0]) for q in qs])
+    rid = np.concatenate([q[0] for q in qs])
+    g0 = np.concatenate([q[1] for q in qs])
+    r0 = np.concatenate([q[2] for q in qs])
+    orient = np.concatenate([q[3] for q in qs])
+    seq_idx = np.repeat(np.arange(len(qs)), counts)
+    seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    seq_base = np.zeros(len(seqs), dtype=np.int64)
+    np.cumsum(seq_lens[:-1], out=seq_base[1:])
+    seq_buf = np.concatenate(seqs)
+    rows = bundle.row_of[rid]
+    st_u = stage_candidates_uniform(seq_buf, seq_base, seq_lens, seq_idx,
+                                    g0, r0, rows, orient, bundle.codes_fwd,
+                                    bundle.codes_rc, read_ids=rid)
+    # reference staging via per-candidate python loop
+    oriented = [bundle.codes_rc[rows[i]] if orient[i] else
+                bundle.codes_fwd[rows[i]] for i in range(len(rid))]
+    st_p = stage_candidates(seqs, g0, r0, oriented, rmax=st_u["rmax"],
+                            nb=len(st_u["valid"]), read_ids=rid,
+                            seq_idx=seq_idx)
+    for key in ("read_f", "rlen_f", "gwin_f", "glen_f", "read_b", "rlen_b",
+                "gwin_b", "glen_b", "g0", "r0", "read_len", "valid",
+                "at_start", "read_id"):
+        assert np.array_equal(st_u[key], st_p[key]), key
