@@ -89,3 +89,26 @@ def test_get_gap_estimates_distance(tmp_path):
     est = rs.get_gap(gr, 0, 2, 0)
     assert est >= 0
     assert abs(est - gap_true) < 40
+
+
+def test_production_band_vs_exact_reference_band(tmp_path):
+    """The production chain-guided band scorer must agree with the exact
+    reference CIGAR-band DP (diagnostics.exact_pacbio — itself pinned
+    bit-close to the reference binary in test_reference_differential) on
+    per-walk scores: both bands capture the dominant alignment mass."""
+    from gaml_tpu.diagnostics.exact_pacbio import ExactPacbioReadSet
+
+    rng = np.random.default_rng(11)
+    gr, seqs = make_linear_graph(rng, [900, 120, 1200])
+    rs_prod, reads = make_pb_readset(tmp_path, gr, seqs, rng, n_reads=10,
+                                     rlen=400, err=0.08, name="pbe")
+    rs_exact = ExactPacbioReadSet(str(tmp_path / "pbe_x"),
+                                  str(tmp_path / "pbe.fq"),
+                                  PB_MATCH, 0.05)
+    rs_exact.preprocess_reads()
+    rs_exact.compute_anchors(gr, persist=False)
+    paths = [[0, 2, 4]]
+    sp, zp, tlp = calc_score_for_pacbio(gr, paths, rs_prod)
+    se, ze, tle = calc_score_for_pacbio(gr, paths, rs_exact)
+    assert tlp == tle
+    assert sp == pytest.approx(se, rel=0.02), (sp, se)

@@ -71,6 +71,90 @@ def our_start_prob(cfg_path):
     return score, total_len, zeros
 
 
+def sample_long_reads(rng, genome, n, lo, hi, err=0.08):
+    """PacBio-like reads: substitutions + indels, both strands."""
+    from gaml_tpu.core import dna as _dna
+
+    reads = []
+    g = np.frombuffer(genome.encode(), dtype=np.uint8)
+    codes = _dna.encode_seq(genome)
+    for _ in range(n):
+        L = int(rng.integers(lo, hi))
+        p = int(rng.integers(0, len(genome) - L + 1))
+        r = list(codes[p:p + L])
+        out = []
+        for c in r:
+            u = rng.random()
+            if u < err * 0.4:
+                out.append(int(rng.integers(0, 4)))      # substitution
+            elif u < err * 0.7:
+                out.append(int(c))
+                out.append(int(rng.integers(0, 4)))      # insertion
+            elif u < err:
+                continue                                  # deletion
+            else:
+                out.append(int(c))
+        arr = np.array(out, dtype=np.uint8)
+        if rng.random() < 0.5:
+            arr = _dna.revcomp(arr)
+        reads.append(_dna.decode_seq(arr))
+    _ = g
+    return reads
+
+
+def test_reference_pacbio_start_prob(tmp_path, reference_binary):
+    """PacBio differential via the fake-blasr shim: the reference binary
+    and our exact scorer consume identical shim alignments; the printed
+    start likelihood must match to printf precision.  Pins the CIGAR-band
+    forward DP (graph.cc:2175-2297), ParseAligment (graph.cc:2945-3021),
+    the window cache assembly (graph.cc:2299-2503), anchors
+    (graph.cc:2505-2576), and the PacBio reduction + coverage sweep
+    (graph.cc:3040-3261)."""
+    from fixtures import write_fastq
+
+    rng = np.random.default_rng(777)
+    seqs, lg = make_world(tmp_path, rng, [900, 120, 3200, 90, 700],
+                          [(1, 2), (2, 3), (3, 4), (4, 5)])
+    genome = "".join(seqs)
+    reads = sample_long_reads(rng, genome, 14, 280, 600)
+    write_fastq(str(tmp_path / "pb.fq"), reads, prefix="pb")
+    cfg = tmp_path / "ref.cfg"
+    cfg.write_text(f"""graph={lg}
+max_iterations=0
+output_prefix={tmp_path}/refout
+blasr_path=/root/repo/tools/fake_blasr_bin
+
+[lib]
+type=pacbio
+filename={tmp_path}/pb.fq
+penalty_constant=0.0001
+cache_prefix={tmp_path}/pbcache
+""")
+    ref_score, ref_len = run_reference(cfg, tmp_path)
+
+    from gaml_tpu.diagnostics.exact_pacbio import ExactPacbioReadSet
+    from gaml_tpu.scoring.config import SingleReadConfig
+
+    configs, rs_cfgs = load_config(str(cfg))
+    gr = load_lastgraph(configs["graph"])
+    mismatch = 0.01
+    rs = ExactPacbioReadSet(str(tmp_path / "pbcache"),
+                            str(tmp_path / "pb.fq"),
+                            1.0 - 4 * mismatch, mismatch)
+    rs.preprocess_reads()
+    rs.normalize_cache(gr)
+    rs.compute_anchors(gr, persist=False)
+    scfg = SingleReadConfig(penalty_constant=0.0001, step=50)
+    pc = ProbCalculator([], [], [(scfg, rs)], gr)
+    paths = [[i] for i in range(0, gr.num_nodes, 2) if gr.node_len(i) > 500]
+    zeros = []
+    our_score, our_len = pc.calc_prob(paths, zeros)
+    assert our_len == ref_len
+    assert our_score == pytest.approx(ref_score, abs=2e-6)
+    # not a trivial all-floored pass: most reads must carry real mass
+    assert zeros[0][0] <= len(reads) // 3, zeros
+
+
 def test_reference_paired_start_prob(tmp_path, reference_binary):
     rng = np.random.default_rng(1234)
     seqs, lg = make_world(tmp_path, rng, [700, 90, 800, 70, 650],
