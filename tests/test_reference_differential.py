@@ -309,6 +309,90 @@ cache_prefix={tmp_path}/bc2
     assert our_score == pytest.approx(ref_score, abs=2e-6)
 
 
+def test_reference_adversarial_walkset_full_rescore(tmp_path,
+                                                    reference_binary):
+    """Adversarial walk-set differential (VERDICT round-1 item 6): the
+    bootstrap path feeds the reference a multi-walk set containing gap
+    entries, an EXACT duplicate walk, and a reverse-complement reuse of
+    another walk's nodes — so the incremental paired scorer's add path
+    (CalcScoreForPathInc over every walk incl. duplicates,
+    graph.cc:1794-1920 via GetChanges graph.cc:1745-1764), the per-walk
+    gap events, and the rs2-length threshold quirk are all compared
+    against the C++ on one likelihood."""
+    rng = np.random.default_rng(4242)
+    p1 = random_seq(rng, 1400)
+    p2 = random_seq(rng, 1200)
+    p3 = random_seq(rng, 1100)
+    from gaml_tpu.core import dna as _dna
+
+    rc_p1 = _dna.revcomp_str(p1)
+    scf_a = p1 + "N" * 40 + p2
+    scf_c = rc_p1 + "N" * 25 + p3
+    fa = tmp_path / "adv.fasta"
+    # scaffold B is an exact duplicate of A -> duplicated walk (multiset)
+    fa.write_text(f">scfA\n{scf_a}\n>scfB\n{scf_a}\n>scfC\n{scf_c}\n")
+
+    genome1 = p1 + p2
+    genome2 = p3
+    L, im, istd = 34, 260, 25
+    m1, m2 = make_pairs(rng, genome1, 70, L, im, istd)
+    m1b, m2b = make_pairs(rng, genome2, 30, L, im, istd)
+    write_fastq(str(tmp_path / "am1.fq"), list(m1) + list(m1b))
+    write_fastq(str(tmp_path / "am2.fq"), list(m2) + list(m2b))
+    singles = [genome1[p:p + 36] for p in
+               rng.integers(0, len(genome1) - 36, 40)]
+    write_fastq(str(tmp_path / "as.fq"), singles)
+
+    cfg = tmp_path / "adv.cfg"
+    cfg.write_text(f"""starting_assembly={fa}
+max_iterations=0
+output_prefix={tmp_path}/advout
+
+[plib]
+type=paired
+filename1={tmp_path}/am1.fq
+filename2={tmp_path}/am2.fq
+insert_mean={im}
+insert_std={istd}
+penalty_constant=0.0001
+cache_prefix={tmp_path}/apc
+
+[slib]
+type=single
+filename={tmp_path}/as.fq
+penalty_constant=0.0001
+cache_prefix={tmp_path}/asc
+""")
+    ref_score, ref_len = run_reference(cfg, tmp_path)
+
+    from gaml_tpu.assembly_import import add_missing_big_nodes, clip_paths
+    from gaml_tpu.core.graph import Graph
+    from gaml_tpu.graph_from_assembly import get_graph_from_assembly
+
+    configs, rs_cfgs = load_config(str(cfg))
+    single, paired, pacbio = prepare_read_sets(rs_cfgs)
+    gr = Graph()
+    paths = get_graph_from_assembly(str(fa), gr)
+    paths = clip_paths(paths, gr)
+    add_missing_big_nodes(paths, gr)
+    # the adversarial structure must actually be present
+    keys = [tuple(p) for p in paths]
+    assert len(keys) > len(set(keys)), "expected a duplicated walk"
+    assert any(any(e < 0 for e in p) for p in paths), "expected gap entries"
+    for _cfg, rs in single:
+        rs.preprocess_reads()
+        rs.prepare_read_index()
+    for _cfg, (rs1, rs2) in paired:
+        for rs in (rs1, rs2):
+            rs.preprocess_reads()
+            rs.prepare_read_index()
+    pc = ProbCalculator(single, paired, pacbio, gr)
+    zeros = []
+    our_score, our_len = pc.calc_prob(paths, zeros)
+    assert our_len == ref_len
+    assert our_score == pytest.approx(ref_score, abs=2e-6)
+
+
 def test_reference_single_start_prob(tmp_path, reference_binary):
     from fixtures import sample_reads
 
