@@ -58,6 +58,13 @@ def _enable_compile_cache():
         pass  # older jax: cache flags unavailable
 
 
+def _pack_words_np(bytes2d: np.ndarray) -> np.ndarray:
+    b = bytes2d.astype(np.int32).reshape(
+        bytes2d.shape[:-1] + (bytes2d.shape[-1] // 4, 4))
+    return (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) |
+            (b[..., 3] << 24))
+
+
 class DeviceExtender:
     """Per-read-set device extension engine with resident read matrices."""
 
@@ -71,6 +78,17 @@ class DeviceExtender:
         self.rmax = ((rmax_needed + 31) // 32) * 32
         self.codes_fwd = jax.device_put(jnp.asarray(codes_fwd))
         self.codes_rc = jax.device_put(jnp.asarray(codes_rc))
+        # packed 4-bases-per-int32 views, built once on host and resident
+        # on device: the staging gathers then move 4x fewer elements
+        pad_to4 = (-self.L) % 4 + 4
+        self.fwd_words = jax.device_put(jnp.asarray(
+            _pack_words_np(np.concatenate(
+                [codes_fwd, np.zeros((codes_fwd.shape[0], pad_to4),
+                                     np.uint8)], axis=1))))
+        self.rc_words = jax.device_put(jnp.asarray(
+            _pack_words_np(np.concatenate(
+                [codes_rc, np.zeros((codes_rc.shape[0], pad_to4),
+                                    np.uint8)], axis=1))))
         self._fns = {}
 
     # ----------------------------------------------------------- jit body
@@ -83,38 +101,96 @@ class DeviceExtender:
         codes_fwd = self.codes_fwd
         codes_rc = self.codes_rc
 
+        def pack_words(bytes2d):
+            """[.., 4k] uint8 -> [.., k] int32, 4 bases per word (the HBM
+            gather then moves 4x fewer elements)."""
+            b = bytes2d.astype(jnp.int32).reshape(
+                bytes2d.shape[:-1] + (bytes2d.shape[-1] // 4, 4))
+            return (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) |
+                    (b[..., 3] << 24))
+
+        def gather_slices(words, starts, out_len):
+            """bytes[i, t] = src[i, starts[i] + t] for t < out_len, where
+            ``words`` is the packed view of src.  words: [N, W] (per-row)
+            or [W] (shared).  Out-of-range reads are arbitrary (callers
+            mask); word indices are clamped."""
+            nw = out_len // 4 + 2
+            base = starts // 4
+            ph = (starts % 4).astype(jnp.int32)
+            wmax = (words.shape[-1] - 1)
+            wordcols = jnp.clip(base[:, None] + jnp.arange(nw)[None, :],
+                                0, wmax)
+            if words.ndim == 1:
+                w = words[wordcols]
+            else:
+                w = jnp.take_along_axis(words, wordcols, axis=1)
+            b = jnp.stack([(w >> (8 * k)) & 0xFF for k in range(4)],
+                          axis=2).reshape(w.shape[0], 4 * nw)
+            out = b[:, 0:out_len]
+            for k in (1, 2, 3):
+                out = jnp.where((ph == k)[:, None], b[:, k:k + out_len], out)
+            return out
+
+        fwd_words = self.fwd_words
+        rc_words = self.rc_words
+        del codes_fwd, codes_rc  # the DP reads only the packed views
+
+        wlen = rmax + 2 * PAD
+        # left sentinel pads so every gather start is non-negative; the
+        # padded bytes land only at masked positions
+        wpad_r = rmax // 4 + 1
+        wpad_g = wlen // 4 + 1
+
         def fused(seq_buf, base, glen_c, g0, r0, rows, orient):
             j = jnp.arange(rmax)
-            jj = jnp.arange(rmax + 2 * PAD)
-            oriented = jnp.where((orient == 1)[:, None], codes_rc[rows],
-                                 codes_fwd[rows]).astype(jnp.int32)
+            jj = jnp.arange(wlen)
+            owords = jnp.where((orient == 1)[:, None], rc_words[rows],
+                               fwd_words[rows])
+            pad_b = (-s_pad) % 4 + 4
+            bw = pack_words(jnp.concatenate(
+                [seq_buf, jnp.zeros((pad_b,), jnp.uint8)])[None, :])[0]
+
             # forward: read suffix after the seed vs genome from seed end
             cols = (r0 + K)[:, None] + j[None, :]
             sel = cols < L
-            read_f = jnp.where(
-                sel, jnp.take_along_axis(oriented, jnp.minimum(cols, L - 1),
-                                         axis=1), SENT_READ)
+            read_f = jnp.where(sel, gather_slices(owords, r0 + K, rmax),
+                               SENT_READ)
             rlen_f = (L - r0 - K).astype(jnp.int32)
             glen_f = (glen_c - (g0 + K)).astype(jnp.int32)
             p = (g0 + K - PAD)[:, None] + jj[None, :]
             inb = (p >= 0) & (p < glen_c[:, None])
-            pg = jnp.clip(base[:, None] + p, 0, s_pad - 1)
-            gwin_f = jnp.where(inb, seq_buf[pg].astype(jnp.int32), SENT_GEN)
-            # backward: reversed read prefix vs reversed genome prefix
+            gwin_f = jnp.where(
+                inb, gather_slices(bw, base + g0 + K - PAD, wlen), SENT_GEN)
+
+            # backward: reversed read prefix vs reversed genome prefix.
+            # read_b[j] = oriented[r0-1-j]: gather the forward slice
+            # starting at r0-rmax and flip; gwin_b[jj] = buf[g0-1-(jj-PAD)]:
+            # gather from base+g0+PAD-wlen and flip.  Left-padded packed
+            # sources keep the (possibly negative) starts in range.
             at_start = g0 == 0
             bsel = ~at_start
             cols_b = r0[:, None] - 1 - j[None, :]
             sel_b = (cols_b >= 0) & bsel[:, None]
+            owords_pad = jnp.concatenate(
+                [jnp.zeros((owords.shape[0], wpad_r), jnp.int32), owords],
+                axis=1)
             read_b = jnp.where(
-                sel_b, jnp.take_along_axis(oriented, jnp.maximum(cols_b, 0),
-                                           axis=1), SENT_READ)
+                sel_b,
+                gather_slices(owords_pad, r0 - rmax + 4 * wpad_r,
+                              rmax)[:, ::-1],
+                SENT_READ)
             rlen_b = jnp.where(bsel, r0, 0).astype(jnp.int32)
             glen_b = jnp.where(bsel, g0, 0).astype(jnp.int32)
             pb = g0[:, None] - 1 - (jj[None, :] - PAD)
             inb_b = (jj[None, :] >= PAD) & (pb >= 0) & bsel[:, None]
-            pgb = jnp.clip(base[:, None] + pb, 0, s_pad - 1)
-            gwin_b = jnp.where(inb_b, seq_buf[pgb].astype(jnp.int32),
-                               SENT_GEN)
+            bw_pad = jnp.concatenate(
+                [jnp.zeros((wpad_g,), jnp.int32), bw])
+            gwin_b = jnp.where(
+                inb_b,
+                gather_slices(bw_pad,
+                              base + g0 + PAD - wlen + 4 * wpad_g,
+                              wlen)[:, ::-1],
+                SENT_GEN)
 
             if use_pallas:
                 from .extend_pallas import dp_rows_pallas
@@ -151,8 +227,10 @@ class DeviceExtender:
     def run(self, seq_buf: np.ndarray, seq_base: np.ndarray,
             seq_lens: np.ndarray, seq_idx: np.ndarray, g0: np.ndarray,
             r0: np.ndarray, rows: np.ndarray, orient: np.ndarray,
-            use_pallas: bool = None):
-        """Returns (ok, errs, begin) numpy arrays for the N candidates."""
+            use_pallas: bool = None, return_device: bool = False):
+        """Returns (ok, errs, begin) for the N candidates — numpy arrays,
+        or padded device arrays (length n_pad) when return_device so a
+        downstream on-device reduction avoids the round trip."""
         import jax
 
         n = len(g0)
@@ -192,5 +270,7 @@ class DeviceExtender:
                              jnp.asarray(glen_c), jnp.asarray(g0_p),
                              jnp.asarray(r0_p), jnp.asarray(rows_p),
                              jnp.asarray(or_p))
+        if return_device:
+            return ok, errs, begin
         return (np.asarray(ok)[:n], np.asarray(errs)[:n],
                 np.asarray(begin)[:n])

@@ -40,6 +40,22 @@ def dedup_alignments(read_id, begin, good):
     return order, good[order] & first
 
 
+def dedup_sort_payload(read_id, begin, good, payloads):
+    """One stable multi-key sort carrying payloads (replaces the two-pass
+    lexsort + post-gathers): sorts by (read_id, begin) with invalid rows
+    pushed to the end, returns (rid_sorted, keep_mask, sorted_payloads).
+    First-of-run in stable order = the reference's first-wins map insert."""
+    rid_key = jnp.where(good, read_id, INT32_BIG)
+    pos_key = jnp.where(good, begin, INT32_BIG)
+    out = jax.lax.sort((rid_key, pos_key, good.astype(jnp.int32))
+                       + tuple(payloads), num_keys=2, is_stable=True)
+    rid_s, pos_s, good_s = out[0], out[1], out[2]
+    first = jnp.concatenate([
+        jnp.array([True]),
+        (rid_s[1:] != rid_s[:-1]) | (pos_s[1:] != pos_s[:-1])])
+    return rid_s, (good_s == 1) & first, out[3:]
+
+
 @functools.partial(jax.jit, static_argnames=("n_reads",))
 def candidates_to_score(ok, errs, begin, valid, read_id, read_len,
                         read_lens_all, log_match, log_mismatch,
@@ -52,14 +68,13 @@ def candidates_to_score(ok, errs, begin, valid, read_id, read_len,
     read_lens_all: [n_reads] true per-read lengths (for the floor of reads
     with no alignments).  Returns (score, zero_reads, read_probs)."""
     good = ok & valid
-    order, good_s = dedup_alignments(read_id, begin, good)
-    errs_s = errs[order]
-    rid_s = read_id[order]
-    rlen_s = read_len[order]
+    rid_s, good_s, (errs_s, rlen_s) = dedup_sort_payload(
+        read_id, begin, good, (errs, read_len))
 
     p = jnp.exp(errs_s * log_mismatch + (rlen_s - errs_s) * log_match)
     p = jnp.where(good_s, p, 0.0)
-    read_probs = jax.ops.segment_sum(p, rid_s, num_segments=n_reads)
+    read_probs = jax.ops.segment_sum(
+        p, jnp.where(good_s, rid_s, n_reads), num_segments=n_reads + 1)[:-1]
     return reduce_read_probs(read_probs, read_lens_all, total_len,
                              min_prob_per_base, min_prob_start)
 
