@@ -102,9 +102,9 @@ def main():
     seq_lens = np.array([genome_len], dtype=np.int64)
     seq_base = np.zeros(1, dtype=np.int64)
 
-    def rescore():
+    def rescore_async():
         """One FULL rescore: native query -> device stage+extend -> device
-        dedup+reduction.  Returns (score, zeros, n_cands)."""
+        dedup+reduction.  Returns device handles (score, zeros) + n."""
         (rid, g0, r0, orient), = query_windows_batch(bundle, [genome])
         n = len(rid)
         seq_idx = np.zeros(n, dtype=np.int64)
@@ -122,7 +122,11 @@ def main():
             jnp.asarray(rlen_p), lens_all, jnp.float32(np.log(match)),
             jnp.float32(np.log(mismatch)), jnp.int32(genome_len),
             jnp.float32(-0.7), jnp.float32(-10.0), n_reads=n_reads)
-        return float(score), int(zeros), n
+        return score, zeros, n
+
+    def rescore():
+        s, z, n = rescore_async()
+        return float(s), int(z), n
 
     t0 = time.time()
     score, zeros, n_cands = rescore()
@@ -135,7 +139,15 @@ def main():
         rescore()
         times.append(time.time() - t0)
     t_warm = float(np.median(times))
-    reads_per_s = n_reads / t_warm
+
+    # pipelined throughput: issue every rescore without blocking so the
+    # host-side query of iteration i+1 overlaps the device work of i
+    # (the async-dispatch shape a production bulk rescorer uses)
+    t0 = time.time()
+    handles = [rescore_async()[0] for _ in range(iters)]
+    _ = [float(h) for h in handles]
+    t_pipe = (time.time() - t0) / iters
+    reads_per_s = n_reads / t_pipe
 
     # ---- baseline: serial native C++ aligner (reference architecture):
     # same query + exact 0-1 BFS + dedup, one call = whole genome window
@@ -163,6 +175,7 @@ def main():
           f"score={score:.4f} zeros={zeros} t_world={t_world:.1f}s "
           f"t_index={t_index:.1f}s t_cold={t_cold:.1f}s "
           f"t_warm_median={t_warm * 1000:.0f}ms "
+          f"t_pipelined={t_pipe * 1000:.0f}ms "
           f"warm_times_ms={[round(t * 1000) for t in times]} "
           f"host_serial={host_reads_per_s:.0f} r/s "
           f"device={jax.devices()[0].platform}", file=sys.stderr)

@@ -87,6 +87,9 @@ def main(argv=None) -> int:
                          "(sharded pair products + psum reduction, "
                          "parallel.paired_sharded) instead of the host "
                          "incremental scorer")
+    ap.add_argument("--pacbio-device", action="store_true",
+                    help="run the PacBio per-read reduction on the device "
+                         "mesh (parallel.pacbio_sharded)")
     ap.add_argument("--distributed", default="",
                     help="multi-host mode: coordinator address "
                          "host:port (or set GAML_COORD); requires "
@@ -127,6 +130,10 @@ def main(argv=None) -> int:
         from .parallel.sharded import make_mesh
 
         pc.enable_sharded_paired(make_mesh())
+    if args.pacbio_device and pacbio:
+        from .parallel.sharded import make_mesh
+
+        pc.enable_sharded_pacbio(make_mesh())
     advice_paired = [pair for cfg, pair in paired if cfg.advice]
     advice_pacbio = [rs for cfg, rs in pacbio if cfg.advice]
 

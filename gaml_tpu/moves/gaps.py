@@ -1,5 +1,11 @@
 """Gap-length fitting moves (reference FixGapLength family,
-moves.cc:694-800 and moves.cc:1080-1092)."""
+moves.cc:694-800 and moves.cc:1080-1092).
+
+Note on batching: gap-length probes change NO alignment windows (windows
+stop at gap entries, so only event offsets and pair distances move) —
+the incremental scorer reuses every alignment across probes and there is
+nothing for a multi-candidate window prefetch (ProbCalculator.score_batch)
+to batch; probes stay sequential by design."""
 from __future__ import annotations
 
 from typing import List

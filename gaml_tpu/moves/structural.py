@@ -92,10 +92,17 @@ def local_change2(new_paths: List[Path], gr, threshold: int, path_id: int,
                     break
             cand_ends.append(cp)
             cand_add.append(added_l)
-        scores = []
-        for cand in cand_ends:
-            new_paths[-1] = cand
-            scores.append(prob_calc.score(new_paths))
+        if hasattr(prob_calc, "score_batch"):
+            # both candidates always get scored: one batched window
+            # prefetch (single aligner dispatch), then sequential scores —
+            # bit-identical to the plain loop (see score_batch)
+            variants = [new_paths[:-1] + [cand] for cand in cand_ends]
+            scores = prob_calc.score_batch(variants)
+        else:
+            scores = []
+            for cand in cand_ends:
+                new_paths[-1] = cand
+                scores.append(prob_calc.score(new_paths))
         best = max(range(len(scores)), key=lambda i: (scores[i], -i))
         last_path = cand_ends[best]
         total_added += cand_add[best]

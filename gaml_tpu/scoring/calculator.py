@@ -27,6 +27,7 @@ class ProbCalculator:
         self.paired_scoring_states = [ScoringState() for _ in self.paired_reads]
         self._sharded_paired = None
         self._sharded_scorers = []
+        self._sharded_pacbio = None
 
     def calc_prob(self, paths: Sequence[Sequence[int]],
                   zeros: Optional[List[Tuple[int, int]]] = None):
@@ -61,13 +62,26 @@ class ProbCalculator:
             if zeros is not None:
                 zeros.append((zero, rs1.get_number_of_reads()))
         for cfg, rs in self.pacbio_reads:
-            from .pacbio_score import calc_score_for_pacbio
+            if self._sharded_pacbio is not None:
+                from ..parallel.pacbio_sharded import (
+                    calc_score_for_pacbio_sharded)
 
-            score, zero, total_len = calc_score_for_pacbio(
-                self.graph, paths, rs,
-                no_cov_penalty=cfg.penalty_constant, exp_cov_move=cfg.step,
-                min_prob_per_base=cfg.min_prob_per_base,
-                min_prob_start=cfg.min_prob_start)
+                mesh, scorer = self._sharded_pacbio
+                score, zero, total_len = calc_score_for_pacbio_sharded(
+                    self.graph, paths, rs, mesh,
+                    no_cov_penalty=cfg.penalty_constant,
+                    exp_cov_move=cfg.step,
+                    min_prob_per_base=cfg.min_prob_per_base,
+                    min_prob_start=cfg.min_prob_start, scorer=scorer)
+            else:
+                from .pacbio_score import calc_score_for_pacbio
+
+                score, zero, total_len = calc_score_for_pacbio(
+                    self.graph, paths, rs,
+                    no_cov_penalty=cfg.penalty_constant,
+                    exp_cov_move=cfg.step,
+                    min_prob_per_base=cfg.min_prob_per_base,
+                    min_prob_start=cfg.min_prob_start)
             prob += score * cfg.weight
             if zeros is not None:
                 zeros.append((zero, rs.get_number_of_reads()))
@@ -75,6 +89,45 @@ class ProbCalculator:
 
     def score(self, paths: Sequence[Sequence[int]]) -> float:
         return self.calc_prob(paths)[0]
+
+    def score_batch(self, candidates) -> List[float]:
+        """Score several candidate walk-sets that will ALL be evaluated
+        (the scorer-in-the-loop sites: LocalChange2's 2-way choice,
+        FixGapLength's probe pairs — reference moves.cc:104-122, 694-800).
+
+        The union of every candidate's missing alignment windows is
+        aligned in ONE batched aligner call (native OpenMP or one device
+        dispatch — amortizing the chip round trip on the device backend)
+        before the candidates are scored sequentially.  Because every
+        candidate is scored, the union equals exactly the window set the
+        sequential plain-score path would have inserted, so cache
+        evolution — and every score and trajectory — is bit-identical.
+        PacBio sets keep their own per-walk range caching (unbatched)."""
+        for _cfg, rs in self.single_reads:
+            collect = set()
+            for cand in candidates:
+                rs.precompute_alignment_for_paths(cand, self.graph,
+                                                  collect_into=collect)
+            if collect:
+                rs.precompute_alignment_for_subpaths(self.graph,
+                                                     sorted(collect))
+        for _cfg, (rs1, rs2) in self.paired_reads:
+            for rs in (rs1, rs2):
+                collect = set()
+                for cand in candidates:
+                    rs.precompute_alignment_for_paths(cand, self.graph,
+                                                      collect_into=collect)
+                if collect:
+                    rs.precompute_alignment_for_subpaths(self.graph,
+                                                         sorted(collect))
+        return [self.score(cand) for cand in candidates]
+
+    def enable_sharded_pacbio(self, mesh, dtype=None) -> None:
+        """Run the PacBio per-read log-sum-exp + floored reduction on a
+        device mesh (parallel.pacbio_sharded)."""
+        from ..parallel.pacbio_sharded import ShardedPacbioScorer
+
+        self._sharded_pacbio = (mesh, ShardedPacbioScorer(mesh, dtype=dtype))
 
     def enable_sharded_paired(self, mesh, dtype=None) -> None:
         """Score paired sets on a device mesh: pair products + floored

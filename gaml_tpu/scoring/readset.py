@@ -359,7 +359,9 @@ class ReadSet:
             last_end = cur_end
 
     def precompute_alignment_for_paths(self, paths: Sequence[Sequence[int]],
-                                       graph, keys=None) -> None:
+                                       graph, keys=None,
+                                       collect_into: Optional[Set[Subpath]]
+                                       = None) -> None:
         """Batch precompute for every window of every walk, plus inverted
         windows and long single nodes (reference graph.cc:447-493; note
         ``last_end`` deliberately carries across walks as in the C++).
@@ -376,7 +378,15 @@ class ReadSet:
         window: if it was skipped while uncached (external carry happened
         to equal its cur_end), a future call with a different predecessor
         would insert it — such walks are not memoized.  This is exactly
-        the cache evolution of the unmemoized loop."""
+        the cache evolution of the unmemoized loop.
+
+        ``collect_into``: defer the insert wave — add the windows this
+        call WOULD align to the set instead (the multi-candidate prefetch:
+        the union over candidates is aligned in one batch, which is the
+        exact set sequential scoring of all candidates would insert, so
+        cache evolution — and therefore every later score — is unchanged).
+        The caller MUST align the collected set before any scoring runs
+        (the memos updated here assume it)."""
         subpaths: Set[Subpath] = set()
         last_end = -1
         memo = getattr(self, "_precompute_memo", None)
@@ -396,7 +406,7 @@ class ReadSet:
                 continue
             if len(path) >= 2 * _STAGE_SEG:
                 last_end, memoizable = self._precompute_walk_segmented(
-                    graph, path, pkey, last_end)
+                    graph, path, pkey, last_end, collect_into=collect_into)
                 if memoizable:
                     scanned.append((pkey, last_end))
                 continue
@@ -427,11 +437,16 @@ class ReadSet:
             if memoizable:
                 scanned.append((pkey, last_end))
         if subpaths:
-            self.precompute_alignment_for_subpaths(graph, sorted(subpaths))
+            if collect_into is not None:
+                collect_into.update(subpaths)
+            else:
+                self.precompute_alignment_for_subpaths(graph,
+                                                       sorted(subpaths))
         for pkey, le in scanned:
             memo[pkey] = le
 
-    def _precompute_walk_segmented(self, graph, path, pkey, carry_in):
+    def _precompute_walk_segmented(self, graph, path, pkey, carry_in,
+                                   collect_into=None):
         """Segmented equivalent of the per-walk precompute scan for long
         walks: each 512-node segment's insertion scan is memoized on
         (content incl. window spillover, whether the incoming window-end
@@ -500,8 +515,11 @@ class ReadSet:
                             out.add((path[i] ^ 1,))
                     last_end = cur_end
                 if out:
-                    self.precompute_alignment_for_subpaths(graph,
-                                                           sorted(out))
+                    if collect_into is not None:
+                        collect_into.update(out)
+                    else:
+                        self.precompute_alignment_for_subpaths(graph,
+                                                               sorted(out))
                 pmemo.add(skey)
             last_out = ext_end
         return last_out, bool(memoizable)

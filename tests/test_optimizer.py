@@ -91,3 +91,45 @@ def test_optimizer_checkpoint_resume(tmp_path):
     assert final_a[0] == final_b[0]
     assert final_a[1] == pytest.approx(final_b[1], abs=1e-12)
     assert final_a[3] == final_b[3]
+
+
+def test_score_batch_trajectory_identical(tmp_path):
+    """The multi-candidate window prefetch (ProbCalculator.score_batch,
+    used by local_change2) must leave the annealing trajectory
+    bit-identical to plain sequential scoring."""
+
+    class _NoBatch:
+        """Delegate that hides score_batch so moves fall back."""
+
+        def __init__(self, pc):
+            self._pc = pc
+
+        def calc_prob(self, paths, zeros=None):
+            return self._pc.calc_prob(paths, zeros)
+
+        def score(self, paths):
+            return self._pc.score(paths)
+
+    histories = []
+    batch_calls = [0]
+    for wrap in (False, True):
+        gr, pc, _ = build_world(tmp_path, seed=9, n_pairs=40)
+        if not wrap:
+            orig = pc.score_batch
+
+            def counted(cands, _orig=orig):
+                batch_calls[0] += 1
+                return _orig(cands)
+
+            pc.score_batch = counted
+        settings = AssemblySettings(threshold=500,
+                                    output_prefix=str(tmp_path / "sb"),
+                                    max_iterations=60, seed=23)
+        opt = Optimizer(gr, _NoBatch(pc) if wrap else pc, settings,
+                        longest_read=250, log=lambda *a: None)
+        # force gap entries so local windows delegate to local_change2
+        opt.run([[0, -25, 4], [8]], write_outputs=False)
+        histories.append([(h["itnum"], h["new_prob"], h["cur_prob"])
+                          for h in opt.history])
+    assert histories[0] == histories[1]
+    assert batch_calls[0] > 0, "local_change2 never used score_batch"

@@ -5,7 +5,14 @@ Their likelihoods are directly comparable (scorer parity is established by
 tests/test_reference_differential.py).  Prints both sides' start/best
 likelihood and wall time.
 
-    python tools/compare_vs_reference.py [genome_kb] [n_pairs] [iters]
+Pinned protocol (VERDICT round-1 item 9): the dataset is a pure function
+of the checked-in generator and seed 99; with runs > 1 the two binaries
+alternate within one invocation (ref, ours, ref, ours, ...) so shared-box
+drift hits both sides equally, and the summary reports per-run times,
+medians, and min-max dispersion.
+
+    python tools/compare_vs_reference.py [genome_kb] [n_pairs] [iters] \
+        [out_dir] [runs]
 """
 import os
 import re
@@ -72,53 +79,80 @@ insert_std={istd}
 cache_prefix={out_dir}/cache
 """)
 
-    # ---- reference
+    runs = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+
     ref_bin = "/tmp/gaml_refbuild/gaml"
     if not os.path.exists(ref_bin):
         subprocess.run(["bash", "tools/build_reference.sh"], check=True,
                        cwd=os.path.join(os.path.dirname(__file__), ".."))
-    t0 = time.time()
-    proc = subprocess.run(["stdbuf", "-o0", ref_bin, cfg_path],
-                          capture_output=True, timeout=36000, cwd=out_dir)
-    ref_time = time.time() - t0
-    text = proc.stdout.decode()
-    start = re.findall(r"start prob (-?[\d.]+)", text)
-    iters_lines = re.findall(
-        r"itnum (\d+) .* new prob (-?[\d.]+) (-?[\d.]+) (-?[\d.]+)", text)
-    ref_best = float(iters_lines[-1][3]) if iters_lines else float("nan")
-    ref_iters = int(iters_lines[-1][0]) if iters_lines else 0
-    print(f"reference: start={start[0] if start else '?'} "
-          f"best={ref_best} iters={ref_iters} time={ref_time:.2f}s "
-          f"rc={proc.returncode}", flush=True)
 
-    # ---- ours
+    def run_ref():
+        # fresh caches per run: the reference would otherwise reuse files
+        for fn in os.listdir(out_dir):
+            if fn.startswith("cache"):
+                os.remove(os.path.join(out_dir, fn))
+        t0 = time.time()
+        proc = subprocess.run(["stdbuf", "-o0", ref_bin, cfg_path],
+                              capture_output=True, timeout=36000,
+                              cwd=out_dir)
+        dt = time.time() - t0
+        text = proc.stdout.decode()
+        iters_lines = re.findall(
+            r"itnum (\d+) .* new prob (-?[\d.]+) (-?[\d.]+) (-?[\d.]+)",
+            text)
+        best = float(iters_lines[-1][3]) if iters_lines else float("nan")
+        n_it = int(iters_lines[-1][0]) if iters_lines else 0
+        return dt, best, n_it, proc.returncode
+
     from gaml_tpu.config import load_config, prepare_read_sets
     from gaml_tpu.core.io import load_lastgraph
     from gaml_tpu.optimize.anneal import Optimizer
     from gaml_tpu.optimize.settings import AssemblySettings
     from gaml_tpu.scoring.calculator import ProbCalculator
 
-    configs, rs_cfgs = load_config(cfg_path)
-    single, paired, pacbio = prepare_read_sets(rs_cfgs)
-    gr = load_lastgraph(lg)
-    for _c, (rs1, rs2) in paired:
-        for rs in (rs1, rs2):
-            rs.preprocess_reads()
-            rs.prepare_read_index()
-    pc = ProbCalculator(single, paired, pacbio, gr)
-    settings = AssemblySettings.from_config(configs)
-    settings.output_prefix = f"{out_dir}/ourout"
-    opt = Optimizer(gr, pc, settings, longest_read=im, log=lambda *a: None)
-    paths = [[i] for i in range(0, gr.num_nodes, 2) if gr.node_len(i) > 500]
-    t0 = time.time()
-    opt.run(paths, write_outputs=False)
-    our_time = time.time() - t0
-    print(f"ours:      start={opt.history[0]['cur_prob']:.6f} "
-          f"best={opt.best_prob:.6f} iters={opt.itnum} time={our_time:.2f}s",
-          flush=True)
-    print(f"summary: best_delta={opt.best_prob - ref_best:+.4f} "
-          f"(positive = ours better) speedup={ref_time / max(our_time, 1e-9):.2f}x",
-          flush=True)
+    def run_ours():
+        configs, rs_cfgs = load_config(cfg_path)
+        single, paired, pacbio = prepare_read_sets(rs_cfgs)
+        gr = load_lastgraph(lg)
+        for _c, (rs1, rs2) in paired:
+            for rs in (rs1, rs2):
+                rs.preprocess_reads()
+                rs.prepare_read_index()
+        pc = ProbCalculator(single, paired, pacbio, gr)
+        settings = AssemblySettings.from_config(configs)
+        settings.output_prefix = f"{out_dir}/ourout"
+        opt = Optimizer(gr, pc, settings, longest_read=im,
+                        log=lambda *a: None)
+        paths = [[i] for i in range(0, gr.num_nodes, 2)
+                 if gr.node_len(i) > 500]
+        t0 = time.time()
+        opt.run(paths, write_outputs=False)
+        return time.time() - t0, float(opt.best_prob), opt.itnum
+
+    ref_times, our_times = [], []
+    ref_bests, our_bests = [], []
+    for k in range(runs):
+        rt, rb, ri, rc = run_ref()
+        ref_times.append(rt)
+        ref_bests.append(rb)
+        print(f"run {k}: reference best={rb} iters={ri} time={rt:.2f}s "
+              f"rc={rc}", flush=True)
+        ot, ob, oi = run_ours()
+        our_times.append(ot)
+        our_bests.append(ob)
+        print(f"run {k}: ours      best={ob:.6f} iters={oi} "
+              f"time={ot:.2f}s", flush=True)
+
+    rmed = float(np.median(ref_times))
+    omed = float(np.median(our_times))
+    print(f"summary: runs={runs} "
+          f"ref_time median={rmed:.2f}s [{min(ref_times):.2f},"
+          f"{max(ref_times):.2f}] "
+          f"our_time median={omed:.2f}s [{min(our_times):.2f},"
+          f"{max(our_times):.2f}] "
+          f"speedup(median)={rmed / max(omed, 1e-9):.2f}x "
+          f"best_delta={our_bests[-1] - ref_bests[-1]:+.4f} "
+          f"(positive = ours better)", flush=True)
 
 
 if __name__ == "__main__":
