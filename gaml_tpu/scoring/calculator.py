@@ -37,6 +37,9 @@ class ProbCalculator:
             zeros.clear()
         prob = 0.0
         total_len = 0
+        # one tuple-ization (and one content hash cost per lookup site)
+        # per iteration, shared across every read set's scorer
+        keys = [p if type(p) is tuple else tuple(p) for p in paths]
         for cfg, rs in self.single_reads:
             score, zero, total_len = calc_score_for_paths_single(
                 self.graph, paths, rs,
@@ -57,7 +60,7 @@ class ProbCalculator:
                     no_cov_penalty=cfg.penalty_constant, exp_cov_move=cfg.step,
                     use_all_to_cov=True,
                     min_prob_per_base=cfg.min_prob_per_base,
-                    min_prob_start=cfg.min_prob_start)
+                    min_prob_start=cfg.min_prob_start, keys=keys)
             prob += score * cfg.weight
             if zeros is not None:
                 zeros.append((zero, rs1.get_number_of_reads()))

@@ -428,16 +428,20 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
                                      exp_cov_move: float = 0.75,
                                      use_all_to_cov: bool = False,
                                      min_prob_per_base: float = -0.7,
-                                     min_prob_start: float = -10.0):
+                                     min_prob_start: float = -10.0,
+                                     keys=None):
     """Incremental rescore (reference CalcScoreForPathsNew,
     graph.cc:1952-1989).  Returns (score, zero_reads, total_len).
 
-    The walk set is tuple-ized exactly once per call; the old side of the
-    multiset diff, the total length, and the per-read log probabilities are
-    maintained incrementally across calls (all three were per-iteration
+    The walk set is tuple-ized exactly once per call (callers scoring the
+    same set against several read sets pass shared ``keys`` so it happens
+    once per ITERATION); the old side of the multiset diff, the total
+    length, and the per-read log probabilities are maintained
+    incrementally across calls (all three were per-iteration
     O(assembly)/O(reads) passes before)."""
     state = scoring_state
-    new_tuples = [p if type(p) is tuple else tuple(p) for p in paths]
+    new_tuples = keys if keys is not None else \
+        [p if type(p) is tuple else tuple(p) for p in paths]
     counter, old_total = _state_derived(state, graph)
 
     # multiset diff against the persistent counter (reference GetChanges,

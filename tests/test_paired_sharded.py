@@ -138,3 +138,24 @@ def test_stage_rows_no_truncation(tmp_path, x64):
                            int((b["pos2"][row] >= 0).sum()))
     assert staged == expect
     assert sum(v[0] for v in staged.values()) > 0
+
+
+def test_collect_walk_rows_python_fallback(tmp_path, x64, monkeypatch):
+    """The pure-Python position collection (no native library) must match
+    the native grouped collection row for row."""
+    import gaml_tpu.parallel.paired_sharded as ps
+
+    gr, rs1, rs2, im, istd = _world(tmp_path, seed=13, n_pairs=30)
+    path = [0, 2, 4, 6, 8]
+    g1n, g2n, evn = ps._collect_walk_rows(gr, path, rs1, rs2)
+    monkeypatch.setattr("gaml_tpu.native.get_lib", lambda: None)
+    g1p, g2p, evp = ps._collect_walk_rows(gr, path, rs1, rs2)
+    assert evn == evp
+    for gn, gp in ((g1n, g1p), (g2n, g2p)):
+        assert np.array_equal(gn[0], gp[0])          # rids
+        assert np.array_equal(gn[2], gp[2])          # counts
+        # per-read position lists identical (offsets may differ)
+        for rid, st_n, ct, st_p in zip(gn[0], gn[1], gn[2], gp[1]):
+            for col in (3, 4, 5):
+                assert np.array_equal(gn[col][st_n:st_n + ct],
+                                      gp[col][st_p:st_p + ct]), rid
