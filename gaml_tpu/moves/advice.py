@@ -42,15 +42,7 @@ def extend_paths_adv_paired(paths: List[Path], gr, threshold: int,
 
     path_v = set(path)
     path_v.update(e ^ 1 for e in path if e >= 0)
-    grouped = rs1.get_positions_grouped(gr, path)
-    if grouped is not None:
-        rids_g, starts_g, _cnts, _pos, _ed, or_g, _tl = grouped
-        fwd_first_rids = [int(r) for r, s in zip(rids_g, starts_g)
-                          if or_g[s] == 0]
-    else:
-        positions1, _tl = rs1.get_positions(gr, path)
-        fwd_first_rids = [i for i in range(rs1.get_number_of_reads())
-                          if positions1[i] and positions1[i][0][1][1] == 0]
+    fwd_first_rids = rs1.fwd_first_rids(gr, path)
 
     only_out = True
     if rng.randint(5) == 0:

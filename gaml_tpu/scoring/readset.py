@@ -990,6 +990,57 @@ class ReadSet:
             use_filter=False, n_reads=self.get_number_of_reads())
         return out + (total_len,)
 
+    def fwd_first_rids(self, graph, path: Sequence[int]):
+        """Read ids whose FIRST position on the walk is forward-oriented —
+        the advice move's mate-1 filter (reference moves.cc:956-963, where
+        every proposal re-aligns the whole walk).  Memoized per walk
+        content with missing-window validation: the result is a pure
+        function of walk content for a fixed alignment-cache view, and the
+        view only changes when one of the walk's missing windows becomes
+        cached."""
+        key = tuple(path)
+        memo = getattr(self, "_advice_pos_memo", None)
+        if memo is None:
+            memo = self._advice_pos_memo = {}
+        if len(memo) > 100_000:
+            memo.clear()
+        hit = self._memo_lookup(memo, key)
+        if hit is not None:
+            return hit
+        grouped = self.get_positions_grouped(graph, path)
+        if grouped is not None:
+            rids_g, starts_g, _cnts, _pos, _ed, or_g, _tl = grouped
+            res = [int(r) for r, s in zip(rids_g, starts_g) if or_g[s] == 0]
+        else:
+            positions1, _tl = self.get_positions(graph, path)
+            res = [i for i in range(self.get_number_of_reads())
+                   if positions1[i] and positions1[i][0][1][1] == 0]
+        # per-contig missing-window lists for future validation
+        from ..core.paths import path_len as _plen, split_at_gaps
+
+        ctgs, gaps = split_at_gaps(list(path))
+        ctgs_with_st = []
+        cur = 0
+        for i, ctg in enumerate(ctgs):
+            if i > 0:
+                cur += gaps[i - 1]
+            ctgs_with_st.append((ctg, cur))
+            cur += _plen(graph, ctg)
+        stage_memo = getattr(self, "_stage_memo", None)
+        missing: Optional[List] = []
+        if stage_memo is None:
+            missing = None
+        else:
+            for ctg, _st in ctgs_with_st:
+                entry = stage_memo.get(tuple(ctg))
+                if entry is None:
+                    missing = None
+                    break
+                missing.extend(entry[2])
+        if missing is not None:
+            memo[key] = [res, self.cache_version, missing]
+        return res
+
     # --------------------------------------------------------------- advice
     def build_advice_index(self, graph, threshold: int) -> None:
         """read -> long nodes it aligns to (reference BuildAdviceIndex,
