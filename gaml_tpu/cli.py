@@ -87,6 +87,10 @@ def main(argv=None) -> int:
                          "(sharded pair products + psum reduction, "
                          "parallel.paired_sharded) instead of the host "
                          "incremental scorer")
+    ap.add_argument("--device-state", action="store_true",
+                    help="keep the paired incremental scorer's per-read "
+                         "running totals resident on the device mesh "
+                         "(parallel.device_state), sharded over 'reads'")
     ap.add_argument("--pacbio-device", action="store_true",
                     help="run the PacBio per-read reduction on the device "
                          "mesh (parallel.pacbio_sharded)")
@@ -126,6 +130,12 @@ def main(argv=None) -> int:
     paths = starting_paths_from_config(configs, graph, settings)
 
     pc = ProbCalculator(single, paired, pacbio, graph)
+    advice_paired = [pair for cfg, pair in paired if cfg.advice]
+    advice_pacbio = [rs for cfg, rs in pacbio if cfg.advice]
+
+    prepare_reads(single, paired, pacbio, graph)
+    longest_read = get_longest_read(single, paired, pacbio)
+
     if args.paired_device and paired:
         from .parallel.sharded import make_mesh
 
@@ -134,11 +144,11 @@ def main(argv=None) -> int:
         from .parallel.sharded import make_mesh
 
         pc.enable_sharded_pacbio(make_mesh())
-    advice_paired = [pair for cfg, pair in paired if cfg.advice]
-    advice_pacbio = [rs for cfg, rs in pacbio if cfg.advice]
+    if args.device_state and paired:
+        # needs read lengths: after prepare_reads
+        from .parallel.sharded import make_mesh
 
-    prepare_reads(single, paired, pacbio, graph)
-    longest_read = get_longest_read(single, paired, pacbio)
+        pc.enable_device_scoring_state(make_mesh())
 
     opt = Optimizer(graph, pc, settings, advice_paired, advice_pacbio,
                     longest_read)
