@@ -17,7 +17,6 @@ from typing import List
 import numpy as np
 
 from ..core import dna
-from ..core.paths import invert_path  # noqa: F401  (parity: node ids)
 from ..scoring.pacbio import K_MIN_ANCHOR_LEN, PacbioReadSet
 from ..scoring.pacbio_exact import (
     aligment_probability,

@@ -286,16 +286,23 @@ class ShardedPairedScorer:
                                      in_specs=in_specs, out_specs=out_specs,
                                      check_vma=False))
 
+    def bucket_fn(self, shape, n_pad: int):
+        """The jitted shard_map for one bucket shape — multiprocess
+        callers build global mesh arrays themselves and invoke this
+        directly (numpy inputs are only valid single-process)."""
+        key = (tuple(shape), n_pad)
+        fn = self._bucket_fns.get(key)
+        if fn is None:
+            fn = self._bucket_fns[key] = self._make_bucket(n_pad)
+        return fn
+
     def bucket_products(self, bucket, n_pad: int, min_prob_per_base: float,
                         min_prob_start: float):
         """Returns (read_probs_sharded [n_pad], evmax, evmin) — event
         arrays None unless collect_events."""
         import jax.numpy as jnp
 
-        key = (bucket["pos1"].shape, n_pad)
-        fn = self._bucket_fns.get(key)
-        if fn is None:
-            fn = self._bucket_fns[key] = self._make_bucket(n_pad)
+        fn = self.bucket_fn(bucket["pos1"].shape, n_pad)
         args = [jnp.asarray(bucket[k]) for k in
                 ("pos1", "ed1", "or1", "pos2", "ed2", "or2", "rid",
                  "len1", "len2", "mask")]
@@ -330,14 +337,20 @@ class ShardedPairedScorer:
             in_specs=(P("reads"), P("reads"), P("reads"), P(), P(), P()),
             out_specs=(P(), P()), check_vma=False))
 
+    def reduce_fn(self, n_pad: int, n_reads: int):
+        """Jitted reduction shard_map (multiprocess-callable)."""
+        key = (n_pad, n_reads)
+        if self._reduce_fn is None or getattr(self, "_reduce_key",
+                                              None) != key:
+            self._reduce_fn = self._make_reduce(n_pad, n_reads)
+            self._reduce_key = key
+        return self._reduce_fn
+
     def reduce(self, read_probs, lens, mask, n_pad, n_reads, total_len,
                min_prob_per_base, min_prob_start):
         import jax.numpy as jnp
 
-        key = (n_pad, n_reads)
-        if self._reduce_fn is None or self._reduce_key != key:
-            self._reduce_fn = self._make_reduce(n_pad, n_reads)
-            self._reduce_key = key
+        self.reduce_fn(n_pad, n_reads)
         s, z = self._reduce_fn(
             read_probs, lens, mask,
             jnp.asarray(float(total_len), dtype=self.dtype),

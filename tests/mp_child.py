@@ -23,6 +23,7 @@ def main():
         coordinator_address=os.environ["GAML_MP_COORD"],
         num_processes=int(os.environ["GAML_MP_NPROC"]),
         process_id=int(os.environ["GAML_MP_PROC"]))
+    import jax.numpy as jnp
     import numpy as np
     from jax.experimental import multihost_utils
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -60,7 +61,40 @@ def main():
         mesh, staged, (lens_g, mask_g), float(np.log(mc.MATCH)),
         float(np.log(mc.MISMATCH)), mc.GENOME_LEN, -0.7, -10.0, mc.RMAX,
         n_reads_local, mc.N_READS)
-    out = {"score": float(score), "zeros": int(zeros), "nb": nb}
+    # paired model on the same global mesh: each process builds only its
+    # own reads-shard slice of the pair rows and the per-read reduction
+    # inputs (parallel.paired_sharded shard_maps)
+    from gaml_tpu.parallel.paired_sharded import ShardedPairedScorer
+
+    scorer = ShardedPairedScorer(mesh, np.log(0.96), np.log(0.01),
+                                 np.log(0.96), np.log(0.01),
+                                 mc.PAIRED_IM, mc.PAIRED_ISTD,
+                                 collect_events=False)
+    rows_per_shard = mc.PAIRED_ROWS // mc.N_ROWS
+    lo = proc * n_local * rows_per_shard
+    hi = (proc + 1) * n_local * rows_per_shard
+    blk = mc.paired_row_block(lo, hi)
+    shp = NamedSharding(mesh, P("reads"))
+    args = [jax.make_array_from_process_local_data(shp, blk[k])
+            for k in ("pos1", "ed1", "or1", "pos2", "ed2", "or2",
+                      "rid", "len1", "len2", "mask")]
+    np_dt = np.float32
+    args += [jnp.asarray(-0.7, dtype=np_dt), jnp.asarray(-10.0, dtype=np_dt)]
+    n_pad = ((mc.PAIRED_N_READS + mc.N_ROWS - 1) // mc.N_ROWS) * mc.N_ROWS
+    local = scorer.bucket_fn((mc.PAIRED_ROWS, mc.PAIRED_K), n_pad)(*args)
+    lens = np.full(n_pad, 2 * mc.PAIRED_L, dtype=np_dt)
+    lmask = np.zeros(n_pad, bool)
+    lmask[:mc.PAIRED_N_READS] = True
+    n_loc2 = n_pad // mc.N_ROWS
+    sl2 = slice(proc * n_local * n_loc2, (proc + 1) * n_local * n_loc2)
+    lens_g = jax.make_array_from_process_local_data(shp, lens[sl2])
+    mask_g = jax.make_array_from_process_local_data(shp, lmask[sl2])
+    ps, pz = scorer.reduce_fn(n_pad, mc.PAIRED_N_READS)(
+        local, lens_g, mask_g, jnp.asarray(1000.0, dtype=np_dt),
+        jnp.asarray(-0.7, dtype=np_dt), jnp.asarray(-10.0, dtype=np_dt))
+
+    out = {"score": float(score), "zeros": int(zeros), "nb": nb,
+           "paired_score": float(ps), "paired_zeros": int(pz)}
     with open(os.environ["GAML_MP_OUT"], "w") as f:
         json.dump(out, f)
     jax.distributed.shutdown()

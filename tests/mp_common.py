@@ -78,3 +78,42 @@ def local_nb(seq, reads, rows):
 
 def round_nb(nb):
     return ((nb + 127) // 128) * 128
+
+
+# ---------------------------------------------------------------- paired
+PAIRED_ROWS = 32      # global (walk, read) pair rows
+PAIRED_K = 4
+PAIRED_L = 30
+PAIRED_IM, PAIRED_ISTD = 200, 20
+PAIRED_N_READS = 24
+
+
+def paired_row_block(lo, hi):
+    """Deterministic pair-position rows [lo, hi) — the stand-in for a
+    process's own position collection over its read shard."""
+    rng = np.random.default_rng(99)
+    pos1 = np.full((PAIRED_ROWS, PAIRED_K), -1, np.int32)
+    ed1 = np.zeros((PAIRED_ROWS, PAIRED_K), np.int32)
+    or1 = np.zeros((PAIRED_ROWS, PAIRED_K), np.int32)
+    pos2 = np.full((PAIRED_ROWS, PAIRED_K), -1, np.int32)
+    ed2 = np.zeros((PAIRED_ROWS, PAIRED_K), np.int32)
+    or2 = np.zeros((PAIRED_ROWS, PAIRED_K), np.int32)
+    rid = np.zeros(PAIRED_ROWS, np.int32)
+    l1 = np.full(PAIRED_ROWS, PAIRED_L, np.int32)
+    l2 = np.full(PAIRED_ROWS, PAIRED_L, np.int32)
+    mask = np.zeros(PAIRED_ROWS, bool)
+    for i in range(PAIRED_ROWS):
+        p = int(rng.integers(0, 500))
+        k = int(rng.integers(1, PAIRED_K + 1))
+        pos1[i, :k] = p + np.arange(k)
+        ed1[i, :k] = rng.integers(0, 3, k)
+        pos2[i, :k] = p + PAIRED_IM - PAIRED_L + np.arange(k)
+        ed2[i, :k] = rng.integers(0, 3, k)
+        or2[i, :k] = 1
+        rid[i] = i % PAIRED_N_READS
+        mask[i] = True
+    sl = slice(lo, hi)
+    return {"pos1": pos1[sl], "ed1": ed1[sl], "or1": or1[sl],
+            "pos2": pos2[sl], "ed2": ed2[sl], "or2": or2[sl],
+            "rid": rid[sl], "len1": l1[sl], "len2": l2[sl],
+            "mask": mask[sl]}

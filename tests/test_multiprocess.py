@@ -25,6 +25,34 @@ def _free_port():
     return port
 
 
+def _single_process_paired_expected():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from gaml_tpu.parallel.paired_sharded import ShardedPairedScorer
+
+    mesh = Mesh(np.asarray(jax.devices()[:mc.N_ROWS]).reshape(mc.N_ROWS, 1),
+                ("reads", "cand"))
+    scorer = ShardedPairedScorer(mesh, np.log(0.96), np.log(0.01),
+                                 np.log(0.96), np.log(0.01),
+                                 mc.PAIRED_IM, mc.PAIRED_ISTD,
+                                 dtype=jnp.float32, collect_events=False)
+    blk = mc.paired_row_block(0, mc.PAIRED_ROWS)
+    n_pad = ((mc.PAIRED_N_READS + mc.N_ROWS - 1) // mc.N_ROWS) * mc.N_ROWS
+    local, _ev1, _ev2 = scorer.bucket_products(blk, n_pad, -0.7, -10.0)
+    lens = np.full(n_pad, 2 * mc.PAIRED_L, dtype=np.float32)
+    lmask = np.zeros(n_pad, bool)
+    lmask[:mc.PAIRED_N_READS] = True
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shp = NamedSharding(mesh, P("reads"))
+    s, z = scorer.reduce(local, jax.device_put(jnp.asarray(lens), shp),
+                         jax.device_put(jnp.asarray(lmask), shp),
+                         n_pad, mc.PAIRED_N_READS, 1000.0, -0.7, -10.0)
+    return float(s), int(z)
+
+
 def _single_process_expected():
     import jax
     from jax.sharding import Mesh
@@ -47,6 +75,7 @@ def _single_process_expected():
 
 def test_two_process_pipeline_matches_single(tmp_path):
     expected_score, expected_zeros = _single_process_expected()
+    exp_paired_score, exp_paired_zeros = _single_process_paired_expected()
 
     port = _free_port()
     nproc = 2
@@ -80,3 +109,7 @@ def test_two_process_pipeline_matches_single(tmp_path):
     assert results[0] == results[1]
     assert results[0]["zeros"] == expected_zeros
     assert results[0]["score"] == pytest.approx(expected_score, rel=1e-6)
+    # paired model (pair products + psum_scatter + floored reduction)
+    assert results[0]["paired_zeros"] == exp_paired_zeros
+    assert results[0]["paired_score"] == pytest.approx(exp_paired_score,
+                                                       rel=1e-6)
