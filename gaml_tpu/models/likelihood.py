@@ -92,15 +92,29 @@ class PairedEndModel(LikelihoodModel):
         self.insert_std = insert_std
 
     def score_positions(self, positions1, positions2, n_reads: int,
-                        len1, len2, total_len: int, k_cap: int = 12):
+                        len1, len2, total_len: int, k_cap: int = None):
         """Dense-stage two mates' position lists and run the device pair
-        product (ops.pair).  Returns (score, zero_reads, read_probs)."""
+        product (ops.pair).  Returns (score, zero_reads, read_probs).
+
+        k_cap defaults to the TRUE maximum per-read position count — no
+        silent truncation; pass a smaller cap only to trade accuracy for
+        shape (the bucketed production path is parallel.paired_sharded)."""
         import jax.numpy as jnp
 
         from ..ops.pair import paired_score_device, stage_positions_dense
 
-        p1, e1, o1, _ = stage_positions_dense(positions1, n_reads, k_cap)
-        p2, e2, o2, _ = stage_positions_dense(positions2, n_reads, k_cap)
+        if k_cap is None:
+            k_cap = max(
+                [len(p) for p in positions1] + [len(p) for p in positions2]
+                + [1])
+        p1, e1, o1, d1 = stage_positions_dense(positions1, n_reads, k_cap)
+        p2, e2, o2, d2 = stage_positions_dense(positions2, n_reads, k_cap)
+        if d1 or d2:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "PairedEndModel k_cap=%d dropped %d positions", k_cap,
+                d1 + d2)
         score, zeros, probs = paired_score_device(
             jnp.asarray(p1), jnp.asarray(e1), jnp.asarray(o1),
             jnp.asarray(np.asarray(len1, np.int32)),

@@ -58,11 +58,17 @@ def _enable_compile_cache():
         pass  # older jax: cache flags unavailable
 
 
+BPW = 8          # bases per packed int32 word (4-bit fields; codes 0..8)
+FIELD = 4        # bits per base field
+
+
 def _pack_words_np(bytes2d: np.ndarray) -> np.ndarray:
     b = bytes2d.astype(np.int32).reshape(
-        bytes2d.shape[:-1] + (bytes2d.shape[-1] // 4, 4))
-    return (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) |
-            (b[..., 3] << 24))
+        bytes2d.shape[:-1] + (bytes2d.shape[-1] // BPW, BPW))
+    out = b[..., 0]
+    for k in range(1, BPW):
+        out = out | (b[..., k] << (FIELD * k))
+    return out
 
 
 class DeviceExtender:
@@ -80,7 +86,7 @@ class DeviceExtender:
         self.codes_rc = jax.device_put(jnp.asarray(codes_rc))
         # packed 4-bases-per-int32 views, built once on host and resident
         # on device: the staging gathers then move 4x fewer elements
-        pad_to4 = (-self.L) % 4 + 4
+        pad_to4 = (-self.L) % BPW + BPW
         self.fwd_words = jax.device_put(jnp.asarray(
             _pack_words_np(np.concatenate(
                 [codes_fwd, np.zeros((codes_fwd.shape[0], pad_to4),
@@ -102,21 +108,24 @@ class DeviceExtender:
         codes_rc = self.codes_rc
 
         def pack_words(bytes2d):
-            """[.., 4k] uint8 -> [.., k] int32, 4 bases per word (the HBM
-            gather then moves 4x fewer elements)."""
+            """[.., BPW*k] uint8 -> [.., k] int32, BPW bases per word in
+            FIELD-bit fields (the HBM gather then moves BPW x fewer
+            elements)."""
             b = bytes2d.astype(jnp.int32).reshape(
-                bytes2d.shape[:-1] + (bytes2d.shape[-1] // 4, 4))
-            return (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) |
-                    (b[..., 3] << 24))
+                bytes2d.shape[:-1] + (bytes2d.shape[-1] // BPW, BPW))
+            out = b[..., 0]
+            for k in range(1, BPW):
+                out = out | (b[..., k] << (FIELD * k))
+            return out
 
         def gather_slices(words, starts, out_len):
             """bytes[i, t] = src[i, starts[i] + t] for t < out_len, where
             ``words`` is the packed view of src.  words: [N, W] (per-row)
             or [W] (shared).  Out-of-range reads are arbitrary (callers
             mask); word indices are clamped."""
-            nw = out_len // 4 + 2
-            base = starts // 4
-            ph = (starts % 4).astype(jnp.int32)
+            nw = out_len // BPW + 2
+            base = starts // BPW
+            ph = (starts % BPW).astype(jnp.int32)
             wmax = (words.shape[-1] - 1)
             wordcols = jnp.clip(base[:, None] + jnp.arange(nw)[None, :],
                                 0, wmax)
@@ -124,10 +133,11 @@ class DeviceExtender:
                 w = words[wordcols]
             else:
                 w = jnp.take_along_axis(words, wordcols, axis=1)
-            b = jnp.stack([(w >> (8 * k)) & 0xFF for k in range(4)],
-                          axis=2).reshape(w.shape[0], 4 * nw)
+            mask = (1 << FIELD) - 1
+            b = jnp.stack([(w >> (FIELD * k)) & mask for k in range(BPW)],
+                          axis=2).reshape(w.shape[0], BPW * nw)
             out = b[:, 0:out_len]
-            for k in (1, 2, 3):
+            for k in range(1, BPW):
                 out = jnp.where((ph == k)[:, None], b[:, k:k + out_len], out)
             return out
 
@@ -138,15 +148,15 @@ class DeviceExtender:
         wlen = rmax + 2 * PAD
         # left sentinel pads so every gather start is non-negative; the
         # padded bytes land only at masked positions
-        wpad_r = rmax // 4 + 1
-        wpad_g = wlen // 4 + 1
+        wpad_r = rmax // BPW + 1
+        wpad_g = wlen // BPW + 1
 
         def fused(seq_buf, base, glen_c, g0, r0, rows, orient):
             j = jnp.arange(rmax)
             jj = jnp.arange(wlen)
             owords = jnp.where((orient == 1)[:, None], rc_words[rows],
                                fwd_words[rows])
-            pad_b = (-s_pad) % 4 + 4
+            pad_b = (-s_pad) % BPW + BPW
             bw = pack_words(jnp.concatenate(
                 [seq_buf, jnp.zeros((pad_b,), jnp.uint8)])[None, :])[0]
 
@@ -176,7 +186,7 @@ class DeviceExtender:
                 axis=1)
             read_b = jnp.where(
                 sel_b,
-                gather_slices(owords_pad, r0 - rmax + 4 * wpad_r,
+                gather_slices(owords_pad, r0 - rmax + BPW * wpad_r,
                               rmax)[:, ::-1],
                 SENT_READ)
             rlen_b = jnp.where(bsel, r0, 0).astype(jnp.int32)
@@ -188,7 +198,7 @@ class DeviceExtender:
             gwin_b = jnp.where(
                 inb_b,
                 gather_slices(bw_pad,
-                              base + g0 + PAD - wlen + 4 * wpad_g,
+                              base + g0 + PAD - wlen + BPW * wpad_g,
                               wlen)[:, ::-1],
                 SENT_GEN)
 
