@@ -463,10 +463,20 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
     if len(state.probs) == 0:
         state.probs = np.zeros(n, dtype=np.float64)
     total = old_total
-    for p in added:
-        total += path_len(graph, p)
-    for p in erased:
-        total -= path_len(graph, p)
+    if added or erased:
+        # vectorized walk lengths (the python per-entry loop was the
+        # hottest pure-python line at late phase)
+        lens_np = graph.lens_np()
+
+        def plen(t):
+            a = np.asarray(t, dtype=np.int64)
+            return int(np.where(a >= 0, lens_np[np.maximum(a, 0)],
+                                -a).sum()) if len(a) else 0
+
+        for p in added:
+            total += plen(p)
+        for p in erased:
+            total -= plen(p)
     read_set1.precompute_alignment_for_paths(paths, graph, keys=new_tuples)
     read_set2.precompute_alignment_for_paths(paths, graph, keys=new_tuples)
 
@@ -492,7 +502,10 @@ def calc_score_for_paths_incremental(graph, paths, read_set1, read_set2,
             np.add.at(state.probs, rid_arr, sign * p_arr)
             touched.append(rid_arr)
     if touched:
-        rids = np.unique(np.concatenate(touched))
+        # no dedup needed: probs is final here, so duplicate rids write
+        # the same value (np.unique's sort was a per-iteration O(pairs
+        # log pairs) cost)
+        rids = np.concatenate(touched) if len(touched) > 1 else touched[0]
         vals = state.probs[rids]
         pos = vals > 0
         with np.errstate(divide="ignore", invalid="ignore"):
