@@ -48,3 +48,31 @@ def test_golden_single_likelihood(world):
     assert tl == 1660
     assert z == 16
     assert s == pytest.approx(-18.836631741508608, abs=1e-12)
+
+
+def test_golden_anneal_trajectory(tmp_path):
+    """End-to-end fixed-seed anneal regression lock (SURVEY section 4(d)):
+    the FULL trajectory — every proposal's likelihood and acceptance — is
+    pinned, so any semantic drift in scorers, memos, moves, or the batched
+    prefetch fails here first.  Constants regenerate by running this body
+    and copying the printed values if an INTENTIONAL semantic change
+    lands."""
+    import hashlib
+
+    from test_optimizer import build_world
+    from gaml_tpu.optimize.anneal import Optimizer
+    from gaml_tpu.optimize.settings import AssemblySettings
+
+    gr, pc, _ = build_world(tmp_path, seed=3, n_pairs=60)
+    settings = AssemblySettings(threshold=500,
+                                output_prefix=str(tmp_path / "g"),
+                                max_iterations=120, seed=29)
+    opt = Optimizer(gr, pc, settings, longest_read=250, log=lambda *a: None)
+    best = opt.run([[0, -30, 4], [8]], write_outputs=False)
+    h = hashlib.sha256()
+    for rec in opt.history:
+        h.update(f"{rec['itnum']},{rec['new_prob']:.12f},"
+                 f"{rec['accept']}".encode())
+    assert opt.best_prob == pytest.approx(-15.456507968781, abs=1e-11)
+    assert h.hexdigest()[:16] == "07ab4e12846341c8"
+    assert best == [[9, 7, 5, 3, 1]]
