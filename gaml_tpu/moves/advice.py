@@ -26,6 +26,74 @@ def _join_onto_end(paths: List[Path], path: Path, path_ends, rng):
     return 0
 
 
+def _advice_csr(rs2):
+    """advice_index1 as CSR arrays (rid-sorted) for vectorized candidate
+    collection; built once per read set."""
+    import numpy as np
+
+    csr = getattr(rs2, "_advice_csr1", None)
+    if csr is None:
+        items = sorted(rs2.advice_index1.items())
+        rids = np.array([k for k, _ in items], dtype=np.int64)
+        off = np.zeros(len(items) + 1, dtype=np.int64)
+        nodes_l: List[int] = []
+        for i, (_k, v) in enumerate(items):
+            off[i + 1] = off[i] + len(v)
+            nodes_l.extend(v)
+        csr = rs2._advice_csr1 = (rids, off,
+                                  np.array(nodes_l, dtype=np.int64))
+    return csr
+
+
+def _reach_keys(gr, node):
+    """Sorted key array of gr.reach_limit[node] (keys are static after
+    the precompute — accept write-backs only reassign values)."""
+    import numpy as np
+
+    cache = getattr(gr, "_reach_limit_keys", None)
+    if cache is None:
+        cache = gr._reach_limit_keys = {}
+    arr = cache.get(node)
+    if arr is None:
+        arr = cache[node] = np.array(sorted(gr.reach_limit[node]),
+                                     dtype=np.int64)
+    return arr
+
+
+def _collect_candidates(rs2, gr, fwd_first_rids, path_v, path_last,
+                        only_out: bool, allow_gaps_flag: bool):
+    """Vectorized, emission-order-preserving candidate collection
+    (reference moves.cc:964-987): rows in fwd_first_rids order, each
+    rid's advice nodes in index order, filtered by path membership and
+    reach_limit."""
+    import numpy as np
+
+    rids_s, off, nodes = _advice_csr(rs2)
+    if len(fwd_first_rids) == 0 or len(rids_s) == 0:
+        return []
+    q = np.asarray(fwd_first_rids, dtype=np.int64)
+    idx = np.searchsorted(rids_s, q)
+    idx_c = np.minimum(idx, len(rids_s) - 1)
+    hit = rids_s[idx_c] == q
+    counts = np.where(hit, off[idx_c + 1] - off[idx_c], 0)
+    total = int(counts.sum())
+    if total == 0:
+        return []
+    starts = off[idx_c]
+    cum = np.zeros(len(q), dtype=np.int64)
+    cum[1:] = np.cumsum(counts[:-1])
+    flat_pos = np.arange(total) - np.repeat(cum, counts)
+    src = np.repeat(starts, counts) + flat_pos
+    cand = nodes[src]                      # emission order preserved
+    keep = np.ones(total, dtype=bool)
+    if only_out and path_v:
+        keep &= ~np.isin(cand, np.fromiter(path_v, dtype=np.int64,
+                                           count=len(path_v)))
+    if not allow_gaps_flag:
+        keep &= np.isin(cand, _reach_keys(gr, path_last))
+    return cand[keep].tolist()
+
+
 def extend_paths_adv_paired(paths: List[Path], gr, threshold: int,
                             rs1, rs2, kmer: int, prob_calc, rng) -> bool:
     """Reference moves.cc:933-1078."""
@@ -51,20 +119,13 @@ def extend_paths_adv_paired(paths: List[Path], gr, threshold: int,
     if rng.randint(5) == 0:
         allow_gaps = True
 
-    def collect(allow_gaps_flag):
-        cands = []
-        for i in fwd_first_rids:
-            for cand_node in read_poses_1.get(i, ()):
-                if cand_node in path_v and only_out:
-                    continue
-                if cand_node in gr.reach_limit[path[-1]] or allow_gaps_flag:
-                    cands.append(cand_node)
-        return cands
-
-    cands = collect(allow_gaps)
+    _ = read_poses_1  # CSR form of the same index drives the collection
+    cands = _collect_candidates(rs2, gr, fwd_first_rids, path_v, path[-1],
+                                only_out, allow_gaps)
     if not cands:
         allow_gaps = True
-        cands = collect(True)
+        cands = _collect_candidates(rs2, gr, fwd_first_rids, path_v,
+                                    path[-1], only_out, True)
 
     path_ends = _build_path_ends(paths)
     if not cands:

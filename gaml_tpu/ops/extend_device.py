@@ -205,12 +205,14 @@ class DeviceExtender:
             if use_pallas:
                 from .extend_pallas import dp_rows_pallas
 
-                cf, _af = dp_rows_pallas(read_f.T, gwin_f.T,
-                                         rlen_f[None, :], glen_f[None, :],
-                                         rmax)
-                cb, ab = dp_rows_pallas(read_b.T, gwin_b.T,
-                                        rlen_b[None, :], glen_b[None, :],
-                                        rmax)
+                # both directions in ONE kernel launch: stack along lanes
+                read_t = jnp.concatenate([read_f, read_b], axis=0).T
+                gwin_t = jnp.concatenate([gwin_f, gwin_b], axis=0).T
+                rlen2 = jnp.concatenate([rlen_f, rlen_b])[None, :]
+                glen2 = jnp.concatenate([glen_f, glen_b])[None, :]
+                c2, a2 = dp_rows_pallas(read_t, gwin_t, rlen2, glen2, rmax)
+                cf, cb = c2[:n_pad], c2[n_pad:]
+                ab = a2[n_pad:]
                 ok = (cf <= ERROR_LIMIT) & (cb <= ERROR_LIMIT)
                 errs = cf + cb
                 d_back = ab
