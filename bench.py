@@ -142,11 +142,17 @@ def main():
 
     # pipelined throughput: issue every rescore without blocking so the
     # host-side query of iteration i+1 overlaps the device work of i
-    # (the async-dispatch shape a production bulk rescorer uses)
+    # (the async-dispatch shape a production bulk rescorer uses).
+    # GAML_JAX_TRACE=<dir> captures a JAX profiler trace of this loop.
+    trace_dir = os.environ.get("GAML_JAX_TRACE", "")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.time()
     handles = [rescore_async()[0] for _ in range(iters)]
     _ = [float(h) for h in handles]
     t_pipe = (time.time() - t0) / iters
+    if trace_dir:
+        jax.profiler.stop_trace()
     reads_per_s = n_reads / t_pipe
 
     # ---- baseline: serial native C++ aligner (reference architecture):
