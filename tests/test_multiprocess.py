@@ -113,3 +113,50 @@ def test_two_process_pipeline_matches_single(tmp_path):
     assert results[0]["paired_zeros"] == exp_paired_zeros
     assert results[0]["paired_score"] == pytest.approx(exp_paired_score,
                                                        rel=1e-6)
+
+
+def test_cli_distributed_wiring(tmp_path):
+    """`gaml-tpu --distributed` / GAML_COORD initializes jax.distributed
+    before the run (single-process here; the scoring pipeline's
+    multiprocess behavior is covered above)."""
+    import numpy as np
+
+    from fixtures import lastgraph_text, random_seq, write_fastq
+    from test_scoring import make_pairs
+
+    rng = np.random.default_rng(0)
+    seqs = [random_seq(rng, 700), random_seq(rng, 80), random_seq(rng, 800)]
+    (tmp_path / "LastGraph").write_text(lastgraph_text(seqs, [(1, 2), (2, 3)]))
+    genome = "".join(seqs)
+    m1, m2 = make_pairs(rng, genome, 20, 30, 250, 25)
+    write_fastq(str(tmp_path / "m1.fq"), m1)
+    write_fastq(str(tmp_path / "m2.fq"), m2)
+    cfg = tmp_path / "run.cfg"
+    cfg.write_text(f"""graph={tmp_path}/LastGraph
+max_iterations=3
+output_prefix={tmp_path}/out
+seed=3
+
+[lib]
+type=paired
+filename1={tmp_path}/m1.fq
+filename2={tmp_path}/m2.fq
+insert_mean=250
+insert_std=25
+cache_prefix={tmp_path}/c
+""")
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PYTEST_CURRENT_TEST", None)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "GAML_COORD": f"127.0.0.1:{port}",
+        "GAML_NPROC": "1",
+        "GAML_PROC_ID": "0",
+        "PYTHONPATH": REPO,
+    })
+    proc = subprocess.run(
+        [sys.executable, "-m", "gaml_tpu.cli", str(cfg)],
+        env=env, cwd=tmp_path, capture_output=True, timeout=540)
+    assert proc.returncode == 0, proc.stdout.decode()[-2000:]
+    assert (tmp_path / "out.fasta").exists()
