@@ -104,12 +104,19 @@ def main(argv=None) -> int:
 
     coord = args.distributed or os.environ.get("GAML_COORD", "")
     if coord:
+        nproc = os.environ.get("GAML_NPROC")
+        proc_id = os.environ.get("GAML_PROC_ID")
+        if nproc is None or proc_id is None:
+            print("--distributed/GAML_COORD requires GAML_NPROC and "
+                  "GAML_PROC_ID environment variables (process count and "
+                  "this process's 0-based id)", file=sys.stderr)
+            return 1
         import jax
 
         jax.distributed.initialize(
             coordinator_address=coord,
-            num_processes=int(os.environ["GAML_NPROC"]),
-            process_id=int(os.environ["GAML_PROC_ID"]))
+            num_processes=int(nproc),
+            process_id=int(proc_id))
 
     configs, read_set_configs = load_config(args.config)
     if "graph" not in configs and "starting_assembly" not in configs:

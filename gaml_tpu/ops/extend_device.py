@@ -16,10 +16,22 @@ fuses it all into one dispatch.  Outputs (ok, errs, begin) are bit-equal
 to the host-staged path (ops.extend.stage_candidates_uniform +
 extend_staged) — tested in tests/test_device_candgen.py.
 
-Shapes are bucketed (candidates to powers of two >= 512, sequence bytes
-to powers of two >= 4096) so the compile count stays logarithmic; the
-persistent JAX compilation cache makes recompiles a per-machine one-time
-cost.
+Two compile-cost rules shape the API:
+
+1. The jitted body is **shape-parametric and module-level**: the resident
+   read matrices are passed as *arguments*, never closure-captured.  A
+   captured device array becomes a literal constant of the XLA program —
+   compiles took minutes per read set, executables embedded the whole
+   read matrix, and neither the in-process nor the persistent compile
+   cache could share work across read sets.  With arguments, every read
+   set whose padded shapes match reuses ONE executable.
+2. Shapes are bucketed (candidates to powers of two >= 512, sequence
+   bytes to powers of two >= 4096, read-matrix rows to powers of two
+   >= 1024) so the compile count stays logarithmic.
+
+The host-return path fetches ONE packed int32 per candidate
+((begin+64)<<6 | min(errs,31)<<1 | ok) instead of three arrays — one
+round trip, ~3x fewer bytes through the tunnel.
 """
 from __future__ import annotations
 
@@ -60,6 +72,7 @@ def _enable_compile_cache():
 
 BPW = 8          # bases per packed int32 word (4-bit fields; codes 0..8)
 FIELD = 4        # bits per base field
+PACK_BIAS = 64   # begin offset in the packed result word
 
 
 def _pack_words_np(bytes2d: np.ndarray) -> np.ndarray:
@@ -69,6 +82,164 @@ def _pack_words_np(bytes2d: np.ndarray) -> np.ndarray:
     for k in range(1, BPW):
         out = out | (b[..., k] << (FIELD * k))
     return out
+
+
+_FUSED_FNS = {}
+
+
+def _get_fused(L: int, rmax: int, n_pad: int, s_pad: int, use_pallas: bool):
+    """The shared jitted fused stage+DP body for one shape bucket.
+
+    Signature: fused(fwd_words [R, W] i32, rc_words [R, W] i32,
+                     seq_buf [s_pad] u8, base/glen_c/g0/r0/rows/orient
+                     [n_pad] i32) -> (ok, errs, begin, packed), all
+    [n_pad].  R and W are traced from the argument shapes, so one
+    executable serves every read set with matching (L, rmax) buckets."""
+    key = (L, rmax, n_pad, s_pad, bool(use_pallas))
+    fn = _FUSED_FNS.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    def pack_words(bytes2d):
+        """[.., BPW*k] uint8 -> [.., k] int32, BPW bases per word in
+        FIELD-bit fields (the HBM gather then moves BPW x fewer
+        elements)."""
+        b = bytes2d.astype(jnp.int32).reshape(
+            bytes2d.shape[:-1] + (bytes2d.shape[-1] // BPW, BPW))
+        out = b[..., 0]
+        for k in range(1, BPW):
+            out = out | (b[..., k] << (FIELD * k))
+        return out
+
+    def gather_slices(words, starts, out_len):
+        """bytes[i, t] = src[i, starts[i] + t] for t < out_len, where
+        ``words`` is the packed view of src.  words: [N, W] (per-row)
+        or [W] (shared).  Out-of-range reads are arbitrary (callers
+        mask); word indices are clamped."""
+        nw = out_len // BPW + 2
+        base = starts // BPW
+        ph = (starts % BPW).astype(jnp.int32)
+        wmax = (words.shape[-1] - 1)
+        wordcols = jnp.clip(base[:, None] + jnp.arange(nw)[None, :],
+                            0, wmax)
+        if words.ndim == 1:
+            w = words[wordcols]
+        else:
+            w = jnp.take_along_axis(words, wordcols, axis=1)
+        mask = (1 << FIELD) - 1
+        b = jnp.stack([(w >> (FIELD * k)) & mask for k in range(BPW)],
+                      axis=2).reshape(w.shape[0], BPW * nw)
+        out = b[:, 0:out_len]
+        for k in range(1, BPW):
+            out = jnp.where((ph == k)[:, None], b[:, k:k + out_len], out)
+        return out
+
+    wlen = rmax + 2 * PAD
+    # left sentinel pads so every gather start is non-negative; the
+    # padded bytes land only at masked positions
+    wpad_r = rmax // BPW + 1
+    wpad_g = wlen // BPW + 1
+
+    def fused(fwd_words, rc_words, seq_buf, base, glen_c, g0, r0, rows,
+              orient):
+        j = jnp.arange(rmax)
+        jj = jnp.arange(wlen)
+        owords = jnp.where((orient == 1)[:, None], rc_words[rows],
+                           fwd_words[rows])
+        pad_b = (-s_pad) % BPW + BPW
+        bw = pack_words(jnp.concatenate(
+            [seq_buf, jnp.zeros((pad_b,), jnp.uint8)])[None, :])[0]
+
+        # forward: read suffix after the seed vs genome from seed end
+        cols = (r0 + K)[:, None] + j[None, :]
+        sel = cols < L
+        read_f = jnp.where(sel, gather_slices(owords, r0 + K, rmax),
+                           SENT_READ)
+        rlen_f = (L - r0 - K).astype(jnp.int32)
+        glen_f = (glen_c - (g0 + K)).astype(jnp.int32)
+        p = (g0 + K - PAD)[:, None] + jj[None, :]
+        inb = (p >= 0) & (p < glen_c[:, None])
+        gwin_f = jnp.where(
+            inb, gather_slices(bw, base + g0 + K - PAD, wlen), SENT_GEN)
+
+        # backward: reversed read prefix vs reversed genome prefix.
+        # read_b[j] = oriented[r0-1-j]: gather the forward slice
+        # starting at r0-rmax and flip; gwin_b[jj] = buf[g0-1-(jj-PAD)]:
+        # gather from base+g0+PAD-wlen and flip.  Left-padded packed
+        # sources keep the (possibly negative) starts in range.
+        at_start = g0 == 0
+        bsel = ~at_start
+        cols_b = r0[:, None] - 1 - j[None, :]
+        sel_b = (cols_b >= 0) & bsel[:, None]
+        owords_pad = jnp.concatenate(
+            [jnp.zeros((owords.shape[0], wpad_r), jnp.int32), owords],
+            axis=1)
+        read_b = jnp.where(
+            sel_b,
+            gather_slices(owords_pad, r0 - rmax + BPW * wpad_r,
+                          rmax)[:, ::-1],
+            SENT_READ)
+        rlen_b = jnp.where(bsel, r0, 0).astype(jnp.int32)
+        glen_b = jnp.where(bsel, g0, 0).astype(jnp.int32)
+        pb = g0[:, None] - 1 - (jj[None, :] - PAD)
+        inb_b = (jj[None, :] >= PAD) & (pb >= 0) & bsel[:, None]
+        bw_pad = jnp.concatenate(
+            [jnp.zeros((wpad_g,), jnp.int32), bw])
+        gwin_b = jnp.where(
+            inb_b,
+            gather_slices(bw_pad,
+                          base + g0 + PAD - wlen + BPW * wpad_g,
+                          wlen)[:, ::-1],
+            SENT_GEN)
+
+        if use_pallas:
+            from .extend_pallas import dp_rows_pallas
+
+            # both directions in ONE kernel launch: stack along lanes
+            read_t = jnp.concatenate([read_f, read_b], axis=0).T
+            gwin_t = jnp.concatenate([gwin_f, gwin_b], axis=0).T
+            rlen2 = jnp.concatenate([rlen_f, rlen_b])[None, :]
+            glen2 = jnp.concatenate([glen_f, glen_b])[None, :]
+            c2, a2 = dp_rows_pallas(read_t, gwin_t, rlen2, glen2, rmax)
+            cf, cb = c2[:n_pad], c2[n_pad:]
+            ab = a2[n_pad:]
+            ok = (cf <= ERROR_LIMIT) & (cb <= ERROR_LIMIT)
+            errs = cf + cb
+            d_back = ab
+        else:
+            from .extend import _dp_rows
+
+            c0f, _a0f = _dp_rows(read_f.astype(jnp.uint8), rlen_f,
+                                 gwin_f.astype(jnp.uint8), glen_f, rmax)
+            c0b, a0b = _dp_rows(read_b.astype(jnp.uint8), rlen_b,
+                                gwin_b.astype(jnp.uint8), glen_b, rmax)
+            ok = (c0f[:, 3] <= ERROR_LIMIT) & (c0b[:, 3] <= ERROR_LIMIT)
+            errs = c0f[:, 3] + c0b[:, 3]
+            d_back = a0b[:, 3]
+
+        begin = g0 - r0 - d_back
+        ok = jnp.where(at_start, ok & (r0 < 6), ok)
+        errs = jnp.where(at_start, errs + r0, errs)
+        begin = jnp.where(at_start, -1, begin)
+        errs = errs.astype(jnp.int32)
+        begin = begin.astype(jnp.int32)
+        packed = ((jnp.clip(begin, -PACK_BIAS, 1 << 24) + PACK_BIAS) << 6) \
+            | (jnp.clip(errs, 0, 31) << 1) | ok.astype(jnp.int32)
+        return ok, errs, begin, packed
+
+    fn = _FUSED_FNS[key] = jax.jit(fused)
+    return fn
+
+
+def unpack_results(packed: np.ndarray):
+    """Host inverse of the packed result word -> (ok, errs, begin)."""
+    ok = (packed & 1).astype(bool)
+    errs = ((packed >> 1) & 31).astype(np.int32)
+    begin = ((packed >> 6) - PACK_BIAS).astype(np.int32)
+    return ok, errs, begin
 
 
 class DeviceExtender:
@@ -82,158 +253,21 @@ class DeviceExtender:
         self.L = int(codes_fwd.shape[1])
         rmax_needed = max(self.L - K, 1)
         self.rmax = ((rmax_needed + 31) // 32) * 32
-        self.codes_fwd = jax.device_put(jnp.asarray(codes_fwd))
-        self.codes_rc = jax.device_put(jnp.asarray(codes_rc))
-        # packed 4-bases-per-int32 views, built once on host and resident
-        # on device: the staging gathers then move 4x fewer elements
+        # packed 4-bit-per-base views, rows padded to a power of two so
+        # read sets of similar size share one executable; built once on
+        # host and resident on device (the staging gathers then move BPW x
+        # fewer elements than byte gathers)
+        n_rows = int(codes_fwd.shape[0])
+        self.n_rows_pad = _bucket_pow2(max(n_rows, 1), 1024)
         pad_to4 = (-self.L) % BPW + BPW
-        self.fwd_words = jax.device_put(jnp.asarray(
-            _pack_words_np(np.concatenate(
-                [codes_fwd, np.zeros((codes_fwd.shape[0], pad_to4),
-                                     np.uint8)], axis=1))))
-        self.rc_words = jax.device_put(jnp.asarray(
-            _pack_words_np(np.concatenate(
-                [codes_rc, np.zeros((codes_rc.shape[0], pad_to4),
-                                    np.uint8)], axis=1))))
-        self._fns = {}
 
-    # ----------------------------------------------------------- jit body
-    def _make(self, n_pad: int, s_pad: int, use_pallas: bool):
-        import jax
-        import jax.numpy as jnp
+        def pack_resident(codes):
+            buf = np.zeros((self.n_rows_pad, self.L + pad_to4), np.uint8)
+            buf[:n_rows, :self.L] = codes
+            return jax.device_put(jnp.asarray(_pack_words_np(buf)))
 
-        L = self.L
-        rmax = self.rmax
-        codes_fwd = self.codes_fwd
-        codes_rc = self.codes_rc
-
-        def pack_words(bytes2d):
-            """[.., BPW*k] uint8 -> [.., k] int32, BPW bases per word in
-            FIELD-bit fields (the HBM gather then moves BPW x fewer
-            elements)."""
-            b = bytes2d.astype(jnp.int32).reshape(
-                bytes2d.shape[:-1] + (bytes2d.shape[-1] // BPW, BPW))
-            out = b[..., 0]
-            for k in range(1, BPW):
-                out = out | (b[..., k] << (FIELD * k))
-            return out
-
-        def gather_slices(words, starts, out_len):
-            """bytes[i, t] = src[i, starts[i] + t] for t < out_len, where
-            ``words`` is the packed view of src.  words: [N, W] (per-row)
-            or [W] (shared).  Out-of-range reads are arbitrary (callers
-            mask); word indices are clamped."""
-            nw = out_len // BPW + 2
-            base = starts // BPW
-            ph = (starts % BPW).astype(jnp.int32)
-            wmax = (words.shape[-1] - 1)
-            wordcols = jnp.clip(base[:, None] + jnp.arange(nw)[None, :],
-                                0, wmax)
-            if words.ndim == 1:
-                w = words[wordcols]
-            else:
-                w = jnp.take_along_axis(words, wordcols, axis=1)
-            mask = (1 << FIELD) - 1
-            b = jnp.stack([(w >> (FIELD * k)) & mask for k in range(BPW)],
-                          axis=2).reshape(w.shape[0], BPW * nw)
-            out = b[:, 0:out_len]
-            for k in range(1, BPW):
-                out = jnp.where((ph == k)[:, None], b[:, k:k + out_len], out)
-            return out
-
-        fwd_words = self.fwd_words
-        rc_words = self.rc_words
-        del codes_fwd, codes_rc  # the DP reads only the packed views
-
-        wlen = rmax + 2 * PAD
-        # left sentinel pads so every gather start is non-negative; the
-        # padded bytes land only at masked positions
-        wpad_r = rmax // BPW + 1
-        wpad_g = wlen // BPW + 1
-
-        def fused(seq_buf, base, glen_c, g0, r0, rows, orient):
-            j = jnp.arange(rmax)
-            jj = jnp.arange(wlen)
-            owords = jnp.where((orient == 1)[:, None], rc_words[rows],
-                               fwd_words[rows])
-            pad_b = (-s_pad) % BPW + BPW
-            bw = pack_words(jnp.concatenate(
-                [seq_buf, jnp.zeros((pad_b,), jnp.uint8)])[None, :])[0]
-
-            # forward: read suffix after the seed vs genome from seed end
-            cols = (r0 + K)[:, None] + j[None, :]
-            sel = cols < L
-            read_f = jnp.where(sel, gather_slices(owords, r0 + K, rmax),
-                               SENT_READ)
-            rlen_f = (L - r0 - K).astype(jnp.int32)
-            glen_f = (glen_c - (g0 + K)).astype(jnp.int32)
-            p = (g0 + K - PAD)[:, None] + jj[None, :]
-            inb = (p >= 0) & (p < glen_c[:, None])
-            gwin_f = jnp.where(
-                inb, gather_slices(bw, base + g0 + K - PAD, wlen), SENT_GEN)
-
-            # backward: reversed read prefix vs reversed genome prefix.
-            # read_b[j] = oriented[r0-1-j]: gather the forward slice
-            # starting at r0-rmax and flip; gwin_b[jj] = buf[g0-1-(jj-PAD)]:
-            # gather from base+g0+PAD-wlen and flip.  Left-padded packed
-            # sources keep the (possibly negative) starts in range.
-            at_start = g0 == 0
-            bsel = ~at_start
-            cols_b = r0[:, None] - 1 - j[None, :]
-            sel_b = (cols_b >= 0) & bsel[:, None]
-            owords_pad = jnp.concatenate(
-                [jnp.zeros((owords.shape[0], wpad_r), jnp.int32), owords],
-                axis=1)
-            read_b = jnp.where(
-                sel_b,
-                gather_slices(owords_pad, r0 - rmax + BPW * wpad_r,
-                              rmax)[:, ::-1],
-                SENT_READ)
-            rlen_b = jnp.where(bsel, r0, 0).astype(jnp.int32)
-            glen_b = jnp.where(bsel, g0, 0).astype(jnp.int32)
-            pb = g0[:, None] - 1 - (jj[None, :] - PAD)
-            inb_b = (jj[None, :] >= PAD) & (pb >= 0) & bsel[:, None]
-            bw_pad = jnp.concatenate(
-                [jnp.zeros((wpad_g,), jnp.int32), bw])
-            gwin_b = jnp.where(
-                inb_b,
-                gather_slices(bw_pad,
-                              base + g0 + PAD - wlen + BPW * wpad_g,
-                              wlen)[:, ::-1],
-                SENT_GEN)
-
-            if use_pallas:
-                from .extend_pallas import dp_rows_pallas
-
-                # both directions in ONE kernel launch: stack along lanes
-                read_t = jnp.concatenate([read_f, read_b], axis=0).T
-                gwin_t = jnp.concatenate([gwin_f, gwin_b], axis=0).T
-                rlen2 = jnp.concatenate([rlen_f, rlen_b])[None, :]
-                glen2 = jnp.concatenate([glen_f, glen_b])[None, :]
-                c2, a2 = dp_rows_pallas(read_t, gwin_t, rlen2, glen2, rmax)
-                cf, cb = c2[:n_pad], c2[n_pad:]
-                ab = a2[n_pad:]
-                ok = (cf <= ERROR_LIMIT) & (cb <= ERROR_LIMIT)
-                errs = cf + cb
-                d_back = ab
-            else:
-                from .extend import _dp_rows
-
-                c0f, _a0f = _dp_rows(read_f.astype(jnp.uint8), rlen_f,
-                                     gwin_f.astype(jnp.uint8), glen_f, rmax)
-                c0b, a0b = _dp_rows(read_b.astype(jnp.uint8), rlen_b,
-                                    gwin_b.astype(jnp.uint8), glen_b, rmax)
-                ok = (c0f[:, 3] <= ERROR_LIMIT) & (c0b[:, 3] <= ERROR_LIMIT)
-                errs = c0f[:, 3] + c0b[:, 3]
-                d_back = a0b[:, 3]
-
-            begin = g0 - r0 - d_back
-            ok = jnp.where(at_start, ok & (r0 < 6), ok)
-            errs = jnp.where(at_start, errs + r0, errs)
-            begin = jnp.where(at_start, -1, begin)
-            return ok, errs.astype(jnp.int32), begin.astype(jnp.int32)
-
-        return jax.jit(fused)
+        self.fwd_words = pack_resident(codes_fwd)
+        self.rc_words = pack_resident(codes_rc)
 
     # --------------------------------------------------------------- run
     def run(self, seq_buf: np.ndarray, seq_base: np.ndarray,
@@ -272,17 +306,14 @@ class DeviceExtender:
         rows_p = pad32(rows)
         or_p = pad32(orient)
 
-        key = (n_pad, s_pad, bool(use_pallas))
-        fn = self._fns.get(key)
-        if fn is None:
-            fn = self._fns[key] = self._make(n_pad, s_pad, use_pallas)
+        fn = _get_fused(self.L, self.rmax, n_pad, s_pad, use_pallas)
         import jax.numpy as jnp
 
-        ok, errs, begin = fn(jnp.asarray(buf), jnp.asarray(base_c),
-                             jnp.asarray(glen_c), jnp.asarray(g0_p),
-                             jnp.asarray(r0_p), jnp.asarray(rows_p),
-                             jnp.asarray(or_p))
+        ok, errs, begin, packed = fn(
+            self.fwd_words, self.rc_words, jnp.asarray(buf),
+            jnp.asarray(base_c), jnp.asarray(glen_c), jnp.asarray(g0_p),
+            jnp.asarray(r0_p), jnp.asarray(rows_p), jnp.asarray(or_p))
         if return_device:
             return ok, errs, begin
-        return (np.asarray(ok)[:n], np.asarray(errs)[:n],
-                np.asarray(begin)[:n])
+        ok_h, errs_h, begin_h = unpack_results(np.asarray(packed)[:n])
+        return ok_h, errs_h, begin_h

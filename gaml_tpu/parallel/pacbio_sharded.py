@@ -81,6 +81,16 @@ class ShardedPacbioScorer:
                       P("reads"), P(), P()),
             out_specs=(P(), P()), check_vma=False))
 
+    def score_fn(self, n_rows: int, n_pad: int, n_reads: int):
+        """The jitted shard_map for one shape — multiprocess callers build
+        global mesh arrays themselves and invoke this directly (numpy
+        inputs are only valid single-process)."""
+        key = (n_rows, n_pad, n_reads)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = self._make(*key)
+        return fn
+
     def score(self, rid: np.ndarray, lp: np.ndarray, n_reads: int,
               read_lens: np.ndarray, total_len: int,
               min_prob_per_base: float, min_prob_start: float):
@@ -106,10 +116,7 @@ class ShardedPacbioScorer:
         # floors for the pad slots: -inf so they never floor (masked)
         floors[n_reads:] = -np.inf
 
-        key = (n_rows, n_pad, n_reads)
-        fn = self._fns.get(key)
-        if fn is None:
-            fn = self._fns[key] = self._make(*key)
+        fn = self.score_fn(n_rows, n_pad, n_reads)
         s, z = fn(jnp.asarray(rid_p),
                   jnp.asarray(lp_p, dtype=self.dtype),
                   jnp.asarray(mask),

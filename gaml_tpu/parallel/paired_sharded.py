@@ -27,11 +27,19 @@ emission order); tests pin 1e-9 relative on CPU meshes with x64.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 _BUCKET_KS = (4, 16, 64)  # position-count classes; above the last, K = max
+# rows with more positions than this are split into sub-rows (grid chunks
+# over the two mates' position lists — an exact partition of the K x K pair
+# products), so no bucket is ever wider than this
+_SPLIT_K = int(os.environ.get("GAML_PAIR_SPLIT_K", "128"))
+# cap on rows_pad * K * K cells per bucket dispatch; wide classes are
+# chunked along the row axis (uniform chunk shapes share one compile)
+_MAX_CELLS = int(os.environ.get("GAML_PAIR_BUCKET_CELLS", str(1 << 22)))
 
 
 def _collect_walk_rows(graph, path, read_set1, read_set2):
@@ -133,17 +141,62 @@ def stage_paired_rows(graph, paths, read_set1, read_set2,
         per_walk.append((w, common, st1[i1], ct1[i1], g1[3], g1[4], g1[5],
                          st2[i2], ct2[i2], g2[3], g2[4], g2[5]))
 
-    # global row table
-    rid_all = np.concatenate([pw[1] for pw in per_walk]) if per_walk else \
-        np.zeros(0, np.int32)
-    walk_all = np.concatenate([np.full(len(pw[1]), pw[0], np.int32)
-                               for pw in per_walk]) if per_walk else \
-        np.zeros(0, np.int32)
-    c1_all = np.concatenate([pw[3] for pw in per_walk]) if per_walk else \
-        np.zeros(0, np.int32)
-    c2_all = np.concatenate([pw[8] for pw in per_walk]) if per_walk else \
-        np.zeros(0, np.int32)
-    counts = np.maximum(c1_all, c2_all)
+    # global sub-row table.  A row is (walk, rid, mate-1 slice, mate-2
+    # slice); rows with more than _SPLIT_K positions in either mate are
+    # split into grid sub-rows — chunks over the two position lists whose
+    # cartesian products exactly partition the full K1 x K2 pair set, so
+    # segment-summing sub-row products by rid reproduces the unsplit sums
+    # and the per-position event flags are unchanged.
+    walk_idx: List[np.ndarray] = []  # index into per_walk, per sub-row
+    rid_l: List[np.ndarray] = []
+    st1_l: List[np.ndarray] = []
+    ct1_l: List[np.ndarray] = []
+    st2_l: List[np.ndarray] = []
+    ct2_l: List[np.ndarray] = []
+    for pw in per_walk:
+        (w, common, st1, ct1, _p1, _e1, _o1, st2, ct2, _p2, _e2, _o2) = pw
+        big = np.nonzero((ct1 > _SPLIT_K) | (ct2 > _SPLIT_K))[0]
+        if len(big) == 0:
+            walk_idx.append(np.full(len(common), w, np.int32))
+            rid_l.append(common.astype(np.int32))
+            st1_l.append(st1.astype(np.int64))
+            ct1_l.append(ct1.astype(np.int32))
+            st2_l.append(st2.astype(np.int64))
+            ct2_l.append(ct2.astype(np.int32))
+            continue
+        keep = np.ones(len(common), bool)
+        keep[big] = False
+        walk_idx.append(np.full(int(keep.sum()), w, np.int32))
+        rid_l.append(common[keep].astype(np.int32))
+        st1_l.append(st1[keep].astype(np.int64))
+        ct1_l.append(ct1[keep].astype(np.int32))
+        st2_l.append(st2[keep].astype(np.int64))
+        ct2_l.append(ct2[keep].astype(np.int32))
+        for r in big.tolist():
+            n1 = -(-int(ct1[r]) // _SPLIT_K)
+            n2 = -(-int(ct2[r]) // _SPLIT_K)
+            a = np.repeat(np.arange(n1), n2)
+            bo = np.tile(np.arange(n2), n1)
+            walk_idx.append(np.full(n1 * n2, w, np.int32))
+            rid_l.append(np.full(n1 * n2, common[r], np.int32))
+            st1_l.append(st1[r] + a * _SPLIT_K)
+            ct1_l.append(np.minimum(_SPLIT_K,
+                                    ct1[r] - a * _SPLIT_K).astype(np.int32))
+            st2_l.append(st2[r] + bo * _SPLIT_K)
+            ct2_l.append(np.minimum(_SPLIT_K,
+                                    ct2[r] - bo * _SPLIT_K).astype(np.int32))
+
+    def cat(parts, dtype):
+        return np.concatenate(parts).astype(dtype) if parts else \
+            np.zeros(0, dtype)
+
+    walk_all = cat(walk_idx, np.int32)
+    rid_all = cat(rid_l, np.int32)
+    st1_all = cat(st1_l, np.int64)
+    ct1_all = cat(ct1_l, np.int32)
+    st2_all = cat(st2_l, np.int64)
+    ct2_all = cat(ct2_l, np.int32)
+    counts = np.maximum(ct1_all, ct2_all)
     kmax = int(counts.max()) if len(counts) else 0
 
     classes: List[Tuple[int, np.ndarray]] = []
@@ -156,54 +209,61 @@ def stage_paired_rows(graph, paths, read_set1, read_set2,
     if kmax > prev:
         classes.append((kmax, np.nonzero(counts > prev)[0]))
 
-    # per-walk row offsets into the global table
-    walk_row_off = np.zeros(len(per_walk) + 1, dtype=np.int64)
-    for i, pw in enumerate(per_walk):
-        walk_row_off[i + 1] = walk_row_off[i] + len(pw[1])
+    pos_by_walk = {pw[0]: (pw[4], pw[5], pw[6], pw[9], pw[10], pw[11])
+                   for pw in per_walk}
 
     buckets = []
-    for k, ids in classes:
-        r = len(ids)
-        r_pad = ((r + row_align - 1) // row_align) * row_align
-        b = {"pos1": np.full((r_pad, k), -1, np.int32),
-             "ed1": np.zeros((r_pad, k), np.int32),
-             "or1": np.zeros((r_pad, k), np.int32),
-             "pos2": np.full((r_pad, k), -1, np.int32),
-             "ed2": np.zeros((r_pad, k), np.int32),
-             "or2": np.zeros((r_pad, k), np.int32),
-             "rid": np.full(r_pad, 0, np.int32),
-             "walk": np.full(r_pad, -1, np.int32),
-             "len1": np.zeros(r_pad, np.int32),
-             "len2": np.zeros(r_pad, np.int32),
-             "mask": np.zeros(r_pad, bool)}
-        b["rid"][:r] = rid_all[ids]
-        b["walk"][:r] = walk_all[ids]
-        b["len1"][:r] = lens1[rid_all[ids]]
-        b["len2"][:r] = lens2[rid_all[ids]]
-        b["mask"][:r] = True
-        # scatter the ragged position lists of the selected rows, per walk
-        # (rows of one walk share that walk's flat position arrays)
-        sel_walk = walk_all[ids]
-        for wi, pw in enumerate(per_walk):
-            in_walk = np.nonzero(sel_walk == pw[0])[0]
-            if not len(in_walk):
-                continue
-            local = ids[in_walk] - walk_row_off[pw[0]]
-            for mate, st_a, ct_a, pos_a, ed_a, or_a in (
-                    ("1", pw[2], pw[3], pw[4], pw[5], pw[6]),
-                    ("2", pw[7], pw[8], pw[9], pw[10], pw[11])):
-                sts = st_a[local].astype(np.int64)
-                cts = ct_a[local]
-                sub_pos = np.zeros((len(in_walk), k), np.int32) - 1
-                sub_ed = np.zeros((len(in_walk), k), np.int32)
-                sub_or = np.zeros((len(in_walk), k), np.int32)
-                _ragged_fill(sub_pos, sts, cts, pos_a)
-                _ragged_fill(sub_ed, sts, cts, ed_a)
-                _ragged_fill(sub_or, sts, cts, or_a)
-                b["pos" + mate][in_walk] = sub_pos
-                b["ed" + mate][in_walk] = sub_ed
-                b["or" + mate][in_walk] = sub_or
-        buckets.append(b)
+    for k, all_ids in classes:
+        # chunk the class so one dispatch never materializes more than
+        # _MAX_CELLS K x K cells; all chunks share one padded shape so the
+        # class costs a single compile
+        rows_cap = max(row_align, (_MAX_CELLS // max(k * k, 1))
+                       // row_align * row_align)
+        n_chunks = max(1, -(-len(all_ids) // rows_cap))
+        r_pad = min(rows_cap,
+                    ((len(all_ids) - 1) // (n_chunks * row_align) + 1)
+                    * row_align) if n_chunks > 1 else \
+            ((len(all_ids) + row_align - 1) // row_align) * row_align
+        for c0 in range(0, len(all_ids), r_pad):
+            ids = all_ids[c0:c0 + r_pad]
+            r = len(ids)
+            b = {"pos1": np.full((r_pad, k), -1, np.int32),
+                 "ed1": np.zeros((r_pad, k), np.int32),
+                 "or1": np.zeros((r_pad, k), np.int32),
+                 "pos2": np.full((r_pad, k), -1, np.int32),
+                 "ed2": np.zeros((r_pad, k), np.int32),
+                 "or2": np.zeros((r_pad, k), np.int32),
+                 "rid": np.full(r_pad, 0, np.int32),
+                 "walk": np.full(r_pad, -1, np.int32),
+                 "len1": np.zeros(r_pad, np.int32),
+                 "len2": np.zeros(r_pad, np.int32),
+                 "mask": np.zeros(r_pad, bool)}
+            b["rid"][:r] = rid_all[ids]
+            b["walk"][:r] = walk_all[ids]
+            b["len1"][:r] = lens1[rid_all[ids]]
+            b["len2"][:r] = lens2[rid_all[ids]]
+            b["mask"][:r] = True
+            # scatter the ragged position lists of the selected rows, per
+            # walk (rows of one walk share that walk's flat position arrays)
+            sel_walk = walk_all[ids]
+            for w in np.unique(sel_walk).tolist():
+                in_walk = np.nonzero(sel_walk == w)[0]
+                pos1_a, ed1_a, or1_a, pos2_a, ed2_a, or2_a = pos_by_walk[w]
+                for mate, st_a, ct_a, pos_a, ed_a, or_a in (
+                        ("1", st1_all, ct1_all, pos1_a, ed1_a, or1_a),
+                        ("2", st2_all, ct2_all, pos2_a, ed2_a, or2_a)):
+                    sts = st_a[ids[in_walk]]
+                    cts = ct_a[ids[in_walk]]
+                    sub_pos = np.zeros((len(in_walk), k), np.int32) - 1
+                    sub_ed = np.zeros((len(in_walk), k), np.int32)
+                    sub_or = np.zeros((len(in_walk), k), np.int32)
+                    _ragged_fill(sub_pos, sts, cts, pos_a)
+                    _ragged_fill(sub_ed, sts, cts, ed_a)
+                    _ragged_fill(sub_or, sts, cts, or_a)
+                    b["pos" + mate][in_walk] = sub_pos
+                    b["ed" + mate][in_walk] = sub_ed
+                    b["or" + mate][in_walk] = sub_or
+            buckets.append(b)
     return buckets, walk_events, total_len
 
 
@@ -228,7 +288,7 @@ class ShardedPairedScorer:
         self.dtype = dtype
         self.collect_events = collect_events
         self._bucket_fns = {}
-        self._reduce_fn = None
+        self._reduce_fns = {}
 
     # ------------------------------------------------------ bucket products
     def _make_bucket(self, n_pad: int):
@@ -275,13 +335,27 @@ class ShardedPairedScorer:
             # (reference graph.cc:1855-1857)
             thr_ev = jnp.exp(mps + mppb * (len2 + len2).astype(dtype))
             qual = valid & (p > thr_ev[:, None, None])
-            evmax = jnp.where(qual, jnp.maximum(x_pos, y_pos), -1)
-            evmin = jnp.where(qual, jnp.minimum(x_pos, y_pos), -1)
-            return local, evmax, evmin
+            # the coverage sweep consumes only the SET of qualifying
+            # event positions per walk (duplicates are gap-0 no-ops), and
+            # every event value is one of the row's own positions — so
+            # compress the K x K event matrix to per-position flag bits:
+            # "this position is the max (bit set) / min of some
+            # qualifying pair".  Transfer shrinks from 2*K*K int32 to K
+            # uint8 per row and host extraction becomes pure numpy.
+            x_is_max = x_pos >= y_pos
+            f1max = jnp.any(qual & x_is_max, axis=2)
+            f1min = jnp.any(qual & ~x_is_max, axis=2)
+            f2max = jnp.any(qual & ~x_is_max, axis=1)
+            f2min = jnp.any(qual & x_is_max, axis=1)
+            flags = (f1max.astype(jnp.uint8) |
+                     (f1min.astype(jnp.uint8) << 1) |
+                     (f2max.astype(jnp.uint8) << 2) |
+                     (f2min.astype(jnp.uint8) << 3))
+            return local, flags
 
         in_specs = tuple([P("reads")] * 10 + [P()] * 2)
         out_specs = P("reads") if not collect_events else \
-            (P("reads"), P("reads"), P("reads"))
+            (P("reads"), P("reads"))
         return jax.jit(jax.shard_map(shard_fn, mesh=self.mesh,
                                      in_specs=in_specs, out_specs=out_specs,
                                      check_vma=False))
@@ -298,8 +372,10 @@ class ShardedPairedScorer:
 
     def bucket_products(self, bucket, n_pad: int, min_prob_per_base: float,
                         min_prob_start: float):
-        """Returns (read_probs_sharded [n_pad], evmax, evmin) — event
-        arrays None unless collect_events."""
+        """Returns (read_probs_sharded [n_pad], event_flags [rows, K]) —
+        flags None unless collect_events.  Flag bits per (row, position):
+        0 = pos1 is the max of a qualifying pair, 1 = pos1 is the min,
+        2 = pos2 is the max, 3 = pos2 is the min."""
         import jax.numpy as jnp
 
         fn = self.bucket_fn(bucket["pos1"].shape, n_pad)
@@ -311,7 +387,7 @@ class ShardedPairedScorer:
         out = fn(*args)
         if self.collect_events:
             return out
-        return out, None, None
+        return out, None
 
     # ----------------------------------------------------------- reduction
     def _make_reduce(self, n_pad: int, n_reads: int):
@@ -338,20 +414,19 @@ class ShardedPairedScorer:
             out_specs=(P(), P()), check_vma=False))
 
     def reduce_fn(self, n_pad: int, n_reads: int):
-        """Jitted reduction shard_map (multiprocess-callable)."""
+        """Jitted reduction shard_map (multiprocess-callable), cached per
+        (n_pad, n_reads) so alternating read-set sizes don't recompile."""
         key = (n_pad, n_reads)
-        if self._reduce_fn is None or getattr(self, "_reduce_key",
-                                              None) != key:
-            self._reduce_fn = self._make_reduce(n_pad, n_reads)
-            self._reduce_key = key
-        return self._reduce_fn
+        fn = self._reduce_fns.get(key)
+        if fn is None:
+            fn = self._reduce_fns[key] = self._make_reduce(n_pad, n_reads)
+        return fn
 
     def reduce(self, read_probs, lens, mask, n_pad, n_reads, total_len,
                min_prob_per_base, min_prob_start):
         import jax.numpy as jnp
 
-        self.reduce_fn(n_pad, n_reads)
-        s, z = self._reduce_fn(
+        s, z = self.reduce_fn(n_pad, n_reads)(
             read_probs, lens, mask,
             jnp.asarray(float(total_len), dtype=self.dtype),
             jnp.asarray(min_prob_per_base, dtype=self.dtype),
@@ -393,21 +468,27 @@ def calc_score_for_paths_paired_sharded(
 
     read_probs = None
     ev_by_walk: Dict[int, List[Tuple[int, int]]] = {}
+    ev_parts: List[np.ndarray] = []  # (walk, pos) pairs, deduped at the end
     for b in buckets:
-        local, evmax, evmin = scorer.bucket_products(
+        local, flags_dev = scorer.bucket_products(
             b, n_pad, min_prob_per_base, min_prob_start)
         read_probs = local if read_probs is None else read_probs + local
-        if evmax is not None:
+        if flags_dev is not None:
+            flags = np.asarray(flags_dev)
             walks = b["walk"]
-            for ev, lo in ((np.asarray(evmax), True),
-                           (np.asarray(evmin) if use_all_to_cov else None,
-                            False)):
-                if ev is None:
-                    continue
-                rows, _a, _b2 = np.nonzero(ev >= 0)
-                vals = ev[ev >= 0]
-                for row, v in zip(rows.tolist(), vals.tolist()):
-                    ev_by_walk.setdefault(int(walks[row]), []).append((v, 3))
+            bits = (1, 4) if not use_all_to_cov else (1, 2, 4, 8)
+            mates = {1: "pos1", 2: "pos1", 4: "pos2", 8: "pos2"}
+            for bit in bits:
+                rows, cols = np.nonzero(flags & bit)
+                if len(rows):
+                    ev_parts.append(np.stack(
+                        [walks[rows], b[mates[bit]][rows, cols]], axis=1))
+    if ev_parts:
+        uniq = np.unique(np.concatenate(ev_parts), axis=0)
+        w_arr, p_arr = uniq[:, 0], uniq[:, 1]
+        cuts = np.nonzero(np.diff(w_arr))[0] + 1
+        for w_grp, p_grp in zip(np.split(w_arr, cuts), np.split(p_arr, cuts)):
+            ev_by_walk[int(w_grp[0])] = [(int(p), 3) for p in p_grp.tolist()]
 
     if read_probs is None:
         read_probs = jax.device_put(

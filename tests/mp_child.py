@@ -93,8 +93,32 @@ def main():
         local, lens_g, mask_g, jnp.asarray(1000.0, dtype=np_dt),
         jnp.asarray(-0.7, dtype=np_dt), jnp.asarray(-10.0, dtype=np_dt))
 
+    # PacBio model on the same global mesh: each process builds only its
+    # own reads-shard slice of the (rid, logprob) hit rows; the sharded
+    # log-sum-exp + floored reduction psum-merges across processes
+    from gaml_tpu.parallel.pacbio_sharded import ShardedPacbioScorer
+
+    pb_scorer = ShardedPacbioScorer(mesh, dtype=jnp.float32)
+    pb_pad = ((mc.PB_N_READS + mc.N_ROWS - 1) // mc.N_ROWS) * mc.N_ROWS
+    rows_ps = mc.PB_ROWS // mc.N_ROWS
+    rid_l, lp_l, mask_l2 = mc.pacbio_rows(proc * n_local * rows_ps,
+                                          (proc + 1) * n_local * rows_ps)
+    floors, lmask_pb = mc.pacbio_reduction_inputs(pb_pad)
+    n_loc3 = pb_pad // mc.N_ROWS
+    sl3 = slice(proc * n_local * n_loc3, (proc + 1) * n_local * n_loc3)
+    pb_args = (
+        jax.make_array_from_process_local_data(shp, rid_l),
+        jax.make_array_from_process_local_data(shp, lp_l),
+        jax.make_array_from_process_local_data(shp, mask_l2),
+        jax.make_array_from_process_local_data(shp, floors[sl3]),
+        jax.make_array_from_process_local_data(shp, lmask_pb[sl3]),
+        jnp.asarray(mc.PB_TOTAL_LEN, dtype=np_dt),
+        jnp.asarray(mc.PB_N_READS, dtype=jnp.int32))
+    pbs, pbz = pb_scorer.score_fn(mc.PB_ROWS, pb_pad, mc.PB_N_READS)(*pb_args)
+
     out = {"score": float(score), "zeros": int(zeros), "nb": nb,
-           "paired_score": float(ps), "paired_zeros": int(pz)}
+           "paired_score": float(ps), "paired_zeros": int(pz),
+           "pacbio_score": float(pbs), "pacbio_zeros": int(pbz)}
     with open(os.environ["GAML_MP_OUT"], "w") as f:
         json.dump(out, f)
     jax.distributed.shutdown()

@@ -117,3 +117,30 @@ def paired_row_block(lo, hi):
             "pos2": pos2[sl], "ed2": ed2[sl], "or2": or2[sl],
             "rid": rid[sl], "len1": l1[sl], "len2": l2[sl],
             "mask": mask[sl]}
+
+
+# ---------------------------------------------------------------- pacbio
+PB_ROWS = 32          # global (read, alignment-hit) rows
+PB_N_READS = 12
+PB_READ_LEN = 500.0
+PB_TOTAL_LEN = 2000.0
+
+
+def pacbio_rows(lo, hi):
+    """Deterministic (rid, logprob) alignment-hit rows [lo, hi) — the
+    stand-in for a process's own PacBio position collection."""
+    rng = np.random.default_rng(123)
+    rid = rng.integers(0, PB_N_READS, PB_ROWS).astype(np.int32)
+    lp = (-rng.random(PB_ROWS) * 200.0 - 50.0).astype(np.float32)
+    mask = np.ones(PB_ROWS, bool)
+    sl = slice(lo, hi)
+    return rid[sl], lp[sl], mask[sl]
+
+
+def pacbio_reduction_inputs(n_pad):
+    """Dense per-read floors + lens-mask (global [n_pad] arrays)."""
+    floors = np.full(n_pad, -np.inf, np.float32)
+    floors[:PB_N_READS] = -10.0 + (-0.7) * PB_READ_LEN
+    lens_mask = np.zeros(n_pad, bool)
+    lens_mask[:PB_N_READS] = True
+    return floors, lens_mask

@@ -92,8 +92,11 @@ def test_device_extender_matches_host_staging(tmp_path):
     ok_d, errs_d, begin_d = ext.run(seq_buf, seq_base, seq_lens, seq_idx,
                                     g0, r0, rows, orient, use_pallas=False)
     assert np.array_equal(ok_h, ok_d)
-    assert np.array_equal(errs_h, errs_d)
-    assert np.array_equal(begin_h, begin_d)
+    # errs/begin travel back as one packed int32 per candidate; they are
+    # defined (and bit-equal) exactly where ok — downstream consumers
+    # (aligner dedup, candidates_to_score) mask by ok before use
+    assert np.array_equal(errs_h[ok_h], errs_d[ok_d])
+    assert np.array_equal(begin_h[ok_h], begin_d[ok_d])
 
 
 def test_stage_uniform_matches_stage_candidates(tmp_path):

@@ -40,7 +40,7 @@ def _single_process_paired_expected():
                                  dtype=jnp.float32, collect_events=False)
     blk = mc.paired_row_block(0, mc.PAIRED_ROWS)
     n_pad = ((mc.PAIRED_N_READS + mc.N_ROWS - 1) // mc.N_ROWS) * mc.N_ROWS
-    local, _ev1, _ev2 = scorer.bucket_products(blk, n_pad, -0.7, -10.0)
+    local, _ev = scorer.bucket_products(blk, n_pad, -0.7, -10.0)
     lens = np.full(n_pad, 2 * mc.PAIRED_L, dtype=np.float32)
     lmask = np.zeros(n_pad, bool)
     lmask[:mc.PAIRED_N_READS] = True
@@ -50,6 +50,23 @@ def _single_process_paired_expected():
     s, z = scorer.reduce(local, jax.device_put(jnp.asarray(lens), shp),
                          jax.device_put(jnp.asarray(lmask), shp),
                          n_pad, mc.PAIRED_N_READS, 1000.0, -0.7, -10.0)
+    return float(s), int(z)
+
+
+def _single_process_pacbio_expected():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from gaml_tpu.parallel.pacbio_sharded import ShardedPacbioScorer
+
+    mesh = Mesh(np.asarray(jax.devices()[:mc.N_ROWS]).reshape(mc.N_ROWS, 1),
+                ("reads", "cand"))
+    scorer = ShardedPacbioScorer(mesh, dtype=jnp.float32)
+    rid, lp, _mask = mc.pacbio_rows(0, mc.PB_ROWS)
+    s, z = scorer.score(rid, lp, mc.PB_N_READS,
+                        np.full(mc.PB_N_READS, mc.PB_READ_LEN),
+                        mc.PB_TOTAL_LEN, -0.7, -10.0)
     return float(s), int(z)
 
 
@@ -76,6 +93,7 @@ def _single_process_expected():
 def test_two_process_pipeline_matches_single(tmp_path):
     expected_score, expected_zeros = _single_process_expected()
     exp_paired_score, exp_paired_zeros = _single_process_paired_expected()
+    exp_pb_score, exp_pb_zeros = _single_process_pacbio_expected()
 
     port = _free_port()
     nproc = 2
@@ -112,6 +130,10 @@ def test_two_process_pipeline_matches_single(tmp_path):
     # paired model (pair products + psum_scatter + floored reduction)
     assert results[0]["paired_zeros"] == exp_paired_zeros
     assert results[0]["paired_score"] == pytest.approx(exp_paired_score,
+                                                       rel=1e-6)
+    # PacBio model (sharded log-sum-exp + floored psum reduction)
+    assert results[0]["pacbio_zeros"] == exp_pb_zeros
+    assert results[0]["pacbio_score"] == pytest.approx(exp_pb_score,
                                                        rel=1e-6)
 
 
