@@ -61,10 +61,16 @@ def _enable_compile_cache():
     _CACHE_SET = True
     import jax
 
+    # default the persistent compile cache next to the package (survives
+    # /tmp wipes between runs on shared build machines); override with
+    # GAML_JAX_CACHE
+    default_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("GAML_JAX_CACHE", "/tmp/gaml_jax_cache"))
+            os.environ.get("GAML_JAX_CACHE", default_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax: cache flags unavailable
@@ -275,8 +281,15 @@ class DeviceExtender:
             r0: np.ndarray, rows: np.ndarray, orient: np.ndarray,
             use_pallas: bool = None, return_device: bool = False):
         """Returns (ok, errs, begin) for the N candidates — numpy arrays,
-        or padded device arrays (length n_pad) when return_device so a
-        downstream on-device reduction avoids the round trip."""
+        or padded device arrays (length >= n) when return_device so a
+        downstream on-device reduction avoids the round trip.
+
+        Batches larger than GAML_DEV_CHUNK candidates are dispatched as a
+        sequence of fixed-shape chunks sharing ONE uploaded window buffer:
+        XLA compile time grows superlinearly in the candidate-axis length
+        (tens of seconds at 128k, unusable beyond), while a warm capped
+        dispatch costs ~0.1 s — so chunking bounds compile cost at one
+        executable per (chunk, s_pad) bucket and pipelines the rest."""
         import jax
 
         n = len(g0)
@@ -286,34 +299,62 @@ class DeviceExtender:
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform not in ("cpu",) and \
                 os.environ.get("GAML_USE_PALLAS", "1") == "1"
-        n_pad = _bucket_pow2(max(n, 1), 512)
+        chunk = int(os.environ.get("GAML_DEV_CHUNK", str(64 * 1024)))
         s_pad = _bucket_pow2(len(seq_buf) + 1, 4096)
 
         buf = np.zeros(s_pad, dtype=np.uint8)
         buf[:len(seq_buf)] = seq_buf
-
-        def pad32(a, fill=0):
-            out = np.full(n_pad, fill, dtype=np.int32)
-            out[:n] = a
-            return out
-
-        base_c = pad32(seq_base[seq_idx])
-        glen_c = pad32(seq_lens[seq_idx])
-        # pad rows stage as zero-length reads against empty genome: rlen_f
-        # = L - r0 - K with r0 = L - K makes them cost-0 no-ops
-        g0_p = pad32(g0, 1)
-        r0_p = pad32(r0, max(self.L - K, 0))
-        rows_p = pad32(rows)
-        or_p = pad32(orient)
-
-        fn = _get_fused(self.L, self.rmax, n_pad, s_pad, use_pallas)
         import jax.numpy as jnp
 
-        ok, errs, begin, packed = fn(
-            self.fwd_words, self.rc_words, jnp.asarray(buf),
-            jnp.asarray(base_c), jnp.asarray(glen_c), jnp.asarray(g0_p),
-            jnp.asarray(r0_p), jnp.asarray(rows_p), jnp.asarray(or_p))
+        buf_dev = jnp.asarray(buf)
+
+        base_all = seq_base[seq_idx]
+        glen_all = seq_lens[seq_idx]
+        r0_fill = max(self.L - K, 0)
+
+        debug = os.environ.get("GAML_DEV_DEBUG") == "1"
+        t_disp = 0.0
+        if debug:
+            import time as _time
+
+            _t0 = _time.perf_counter()
+        outs = []
+        for c0 in range(0, n, chunk):
+            c1 = min(c0 + chunk, n)
+            nc = c1 - c0
+            n_pad = _bucket_pow2(nc, 512)
+
+            def pad32(a, fill=0):
+                out = np.full(n_pad, fill, dtype=np.int32)
+                out[:nc] = a[c0:c1]
+                return out
+
+            # pad rows stage as zero-length reads against empty genome:
+            # rlen_f = L - r0 - K with r0 = L - K makes them cost-0 no-ops
+            fn = _get_fused(self.L, self.rmax, n_pad, s_pad, use_pallas)
+            outs.append((nc, fn(
+                self.fwd_words, self.rc_words, buf_dev,
+                jnp.asarray(pad32(base_all)), jnp.asarray(pad32(glen_all)),
+                jnp.asarray(pad32(g0, 1)), jnp.asarray(pad32(r0, r0_fill)),
+                jnp.asarray(pad32(rows)), jnp.asarray(pad32(orient)))))
+        if debug:
+            t_disp = _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+            import jax as _jax
+
+            _jax.block_until_ready([o[1][3] for o in outs])
+            print(f"[dev.run] n={n} chunks={len(outs)} s_pad={s_pad} "
+                  f"dispatch={t_disp:.2f}s exec+fetchwait="
+                  f"{_time.perf_counter() - _t0:.2f}s", flush=True)
+
         if return_device:
+            if len(outs) == 1:
+                ok, errs, begin, _packed = outs[0][1]
+                return ok, errs, begin
+            ok = jnp.concatenate([o[1][0][:o[0]] for o in outs])
+            errs = jnp.concatenate([o[1][1][:o[0]] for o in outs])
+            begin = jnp.concatenate([o[1][2][:o[0]] for o in outs])
             return ok, errs, begin
-        ok_h, errs_h, begin_h = unpack_results(np.asarray(packed)[:n])
-        return ok_h, errs_h, begin_h
+        packed = np.concatenate(
+            [np.asarray(o[1][3])[:o[0]] for o in outs])
+        return unpack_results(packed)

@@ -126,8 +126,13 @@ cache_prefix={out_dir}/cache
         paths = [[i] for i in range(0, gr.num_nodes, 2)
                  if gr.node_len(i) > 500]
         t0 = time.time()
-        opt.run(paths, write_outputs=False)
-        return time.time() - t0, float(opt.best_prob), opt.itnum
+        best = opt.run(paths, write_outputs=False)
+        dt = time.time() - t0
+        from gaml_tpu.core.io import output_paths_to_file
+
+        output_paths_to_file(best, gr, 47, settings.threshold,
+                             settings.output_prefix)
+        return dt, float(opt.best_prob), opt.itnum
 
     ref_times, our_times = [], []
     ref_bests, our_bests = [], []
@@ -153,6 +158,21 @@ cache_prefix={out_dir}/cache
           f"speedup(median)={rmed / max(omed, 1e-9):.2f}x "
           f"best_delta={our_bests[-1] - ref_bests[-1]:+.4f} "
           f"(positive = ours better)", flush=True)
+
+    # assembly-quality equivalence (BASELINE.md "final contigs equivalent
+    # to reference output"): both binaries' last-written FASTAs vs truth
+    from asm_quality import assembly_quality
+
+    for side, fasta in (("reference", f"{out_dir}/refout.fasta"),
+                        ("ours", f"{out_dir}/ourout.fasta")):
+        if os.path.exists(fasta):
+            q = assembly_quality(genome, fasta)
+            print(f"quality {side}: contigs={q['n_contigs']} "
+                  f"total={q['total_len']} N50={q['n50']} NG50={q['ng50']} "
+                  f"kmer_recall={q['kmer_recall']} "
+                  f"kmer_junk={q['kmer_junk']}", flush=True)
+        else:
+            print(f"quality {side}: {fasta} missing", flush=True)
 
 
 if __name__ == "__main__":
