@@ -87,6 +87,12 @@ def main(argv=None) -> int:
                          "(sharded pair products + psum reduction, "
                          "parallel.paired_sharded) instead of the host "
                          "incremental scorer")
+    ap.add_argument("--paired-device-inc", action="store_true",
+                    help="incremental mesh paired scoring: diff the walk "
+                         "multiset on host, compute only changed walks' "
+                         "pair products on the mesh, and psum_scatter "
+                         "signed deltas into device-resident running "
+                         "totals (anneal-rate mesh path)")
     ap.add_argument("--device-state", action="store_true",
                     help="keep the paired incremental scorer's per-read "
                          "running totals resident on the device mesh "
@@ -143,10 +149,11 @@ def main(argv=None) -> int:
     prepare_reads(single, paired, pacbio, graph)
     longest_read = get_longest_read(single, paired, pacbio)
 
-    if args.paired_device and paired:
+    if (args.paired_device or args.paired_device_inc) and paired:
         from .parallel.sharded import make_mesh
 
-        pc.enable_sharded_paired(make_mesh())
+        pc.enable_sharded_paired(make_mesh(),
+                                 incremental=args.paired_device_inc)
     if args.pacbio_device and pacbio:
         from .parallel.sharded import make_mesh
 

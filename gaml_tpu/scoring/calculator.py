@@ -52,7 +52,7 @@ class ProbCalculator:
         for ind, (cfg, (rs1, rs2)) in enumerate(self.paired_reads):
             if self._sharded_paired is not None:
                 score, zero, total_len = self._calc_paired_sharded(
-                    ind, cfg, rs1, rs2, paths)
+                    ind, cfg, rs1, rs2, paths, keys)
             else:
                 score, zero, total_len = calc_score_for_paths_incremental(
                     self.graph, paths, rs1, rs2, cfg.insert_mean,
@@ -132,21 +132,30 @@ class ProbCalculator:
 
         self._sharded_pacbio = (mesh, ShardedPacbioScorer(mesh, dtype=dtype))
 
-    def enable_sharded_paired(self, mesh, dtype=None) -> None:
+    def enable_sharded_paired(self, mesh, dtype=None,
+                              incremental: bool = False) -> None:
         """Score paired sets on a device mesh: pair products + floored
         reduction under shard_map with psum over the mesh "reads" axis
-        (parallel.paired_sharded), full-rescore semantics on every call.
-        The scale path for read sets too large for the host pair loop and
-        the multi-chip data-parallel axis (SURVEY.md section 5.8)."""
-        self._sharded_paired = (mesh, dtype)
+        (parallel.paired_sharded).  The scale path for read sets too large
+        for the host pair loop and the multi-chip data-parallel axis
+        (SURVEY.md section 5.8).
+
+        incremental=False: full-rescore semantics on every call (bulk
+        scoring).  incremental=True: per-move the walk multiset is diffed
+        on host and only changed walks' pair products run on the mesh,
+        psum_scatter'd as signed deltas into device-resident running
+        totals — the anneal-rate mesh path (reference CalcScoreForPathsNew,
+        graph.cc:1952-1989)."""
+        self._sharded_paired = (mesh, dtype, incremental)
         self._sharded_scorers = [None] * len(self.paired_reads)
 
-    def _calc_paired_sharded(self, ind, cfg, rs1, rs2, paths):
+    def _calc_paired_sharded(self, ind, cfg, rs1, rs2, paths, keys=None):
         from ..parallel.paired_sharded import (
-            ShardedPairedScorer, calc_score_for_paths_paired_sharded)
+            ShardedPairedScorer, calc_score_for_paths_incremental_sharded,
+            calc_score_for_paths_paired_sharded)
         import numpy as np
 
-        mesh, dtype = self._sharded_paired
+        mesh, dtype, incremental = self._sharded_paired
         scorer = self._sharded_scorers[ind]
         if scorer is None:
             scorer = ShardedPairedScorer(
@@ -155,6 +164,14 @@ class ProbCalculator:
                 cfg.insert_mean, cfg.insert_std, dtype=dtype,
                 collect_events=cfg.penalty_constant != 0.0)
             self._sharded_scorers[ind] = scorer
+        if incremental:
+            return calc_score_for_paths_incremental_sharded(
+                self.graph, paths, rs1, rs2, cfg.insert_mean,
+                cfg.insert_std, self.paired_scoring_states[ind], mesh,
+                no_cov_penalty=cfg.penalty_constant, exp_cov_move=cfg.step,
+                use_all_to_cov=True,
+                min_prob_per_base=cfg.min_prob_per_base,
+                min_prob_start=cfg.min_prob_start, scorer=scorer, keys=keys)
         return calc_score_for_paths_paired_sharded(
             self.graph, paths, rs1, rs2, cfg.insert_mean, cfg.insert_std,
             mesh, no_cov_penalty=cfg.penalty_constant, exp_cov_move=cfg.step,

@@ -159,3 +159,128 @@ def test_collect_walk_rows_python_fallback(tmp_path, x64, monkeypatch):
             for col in (3, 4, 5):
                 assert np.array_equal(gn[col][st_n:st_n + ct],
                                       gp[col][st_p:st_p + ct]), rid
+
+
+def test_incremental_sharded_matches_host_sequence(tmp_path, x64):
+    """VERDICT r2 item 4: the mesh-backed incremental scorer — signed
+    per-walk deltas psum_scatter'd into DeviceScoringState — tracks the
+    host incremental scorer across a whole move sequence (adds, erases,
+    duplicated walks, gaps), per-step and with persistent state."""
+    from gaml_tpu.parallel.paired_sharded import (
+        calc_score_for_paths_incremental_sharded)
+
+    gr, rs1, rs2, im, istd = _world(tmp_path, seed=11)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                ("reads", "cand"))
+    kw = dict(no_cov_penalty=1e-4, exp_cov_move=150, use_all_to_cov=True)
+    st_host = ScoringState()
+    st_dev = ScoringState()
+    sequence = [
+        [[0, 2, 4, 6, 8]],
+        [[0, 2, 4], [6, 8]],                 # break
+        [[0, 2, 4], [6, 8], [0, 2, 4]],      # duplicate walk added
+        [[0, 2, 4], [6, 8]],                 # duplicate erased again
+        [[0, 2, -35, 6, 8]],                 # gap walk replaces both
+        [[0, 2, 4, 6, 8]],                   # back to the start walk
+    ]
+    for paths in sequence:
+        host = calc_score_for_paths_incremental(
+            gr, paths, rs1, rs2, im, istd, st_host, **kw)
+        dev = calc_score_for_paths_incremental_sharded(
+            gr, paths, rs1, rs2, im, istd, st_dev, mesh, **kw)
+        assert dev[2] == host[2], paths          # total_len
+        assert dev[1] == host[1], paths          # zero_reads
+        assert dev[0] == pytest.approx(host[0], rel=1e-9, abs=1e-9), paths
+        assert st_dev.bad_bases == st_host.bad_bases, paths
+    # the device running totals match the host state after the sequence
+    np.testing.assert_allclose(st_dev.device.to_host(), st_host.probs,
+                               rtol=1e-9, atol=1e-300)
+
+
+def test_incremental_sharded_stages_only_changes(tmp_path, x64,
+                                                 monkeypatch):
+    """Per-move staging cost is O(changed walks): after the first call,
+    a one-walk move stages exactly the erased + added walks."""
+    import gaml_tpu.parallel.paired_sharded as ps
+
+    gr, rs1, rs2, im, istd = _world(tmp_path, seed=17)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                ("reads", "cand"))
+    st = ScoringState()
+    base = [[0, 2], [4], [6, 8]]
+    ps.calc_score_for_paths_incremental_sharded(
+        gr, base, rs1, rs2, im, istd, st, mesh)
+
+    staged = []
+    real = ps.stage_paired_rows
+
+    def spy(graph, paths, *a, **k):
+        staged.append([list(p) for p in paths])
+        return real(graph, paths, *a, **k)
+
+    monkeypatch.setattr(ps, "stage_paired_rows", spy)
+    moved = [[0, 2], [4, 6, 8]]              # erase [4] + [6,8], add [4,6,8]
+    ps.calc_score_for_paths_incremental_sharded(
+        gr, moved, rs1, rs2, im, istd, st, mesh)
+    flat = sorted(sum(staged, []))
+    assert flat == sorted([[4], [6, 8], [4, 6, 8]])
+    staged.clear()
+    ps.calc_score_for_paths_incremental_sharded(
+        gr, moved, rs1, rs2, im, istd, st, mesh)   # no-op move
+    assert staged == []
+
+
+def test_prob_calculator_incremental_sharded(tmp_path, x64):
+    """ProbCalculator wiring: enable_sharded_paired(incremental=True)
+    routes per-move scoring through the mesh deltas; trajectory matches
+    the host incremental calculator across a walk-set sequence."""
+    from gaml_tpu.scoring.calculator import ProbCalculator
+    from gaml_tpu.scoring.config import PairedReadConfig
+
+    gr, rs1, rs2, im, istd = _world(tmp_path, seed=23)
+    cfg = PairedReadConfig(insert_mean=im, insert_std=istd,
+                           penalty_constant=1e-4, step=150)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("reads", "cand"))
+    pc_host = ProbCalculator([], [(cfg, (rs1, rs2))], [], gr)
+    pc_dev = ProbCalculator([], [(cfg, (rs1, rs2))], [], gr)
+    pc_dev.enable_sharded_paired(mesh, incremental=True)
+    for paths in ([[0, 2, 4, 6, 8]], [[0, 2, 4], [6, 8]],
+                  [[0, 2, -20, 8]], [[0, 2, 4, 6, 8]]):
+        zh, zd = [], []
+        sh, tlh = pc_host.calc_prob(paths, zh)
+        sd, tld = pc_dev.calc_prob(paths, zd)
+        assert tld == tlh
+        assert zd == zh
+        assert sd == pytest.approx(sh, rel=1e-9, abs=1e-9)
+
+
+def test_mesh_backed_anneal_trajectory_matches_host(tmp_path, x64):
+    """The incremental mesh scorer drives a REAL anneal: fixed-seed runs
+    with the host incremental calculator and the mesh-backed incremental
+    calculator accept the same moves and land on the same best walks."""
+    from gaml_tpu.optimize.anneal import Optimizer
+    from gaml_tpu.optimize.settings import AssemblySettings
+    from gaml_tpu.scoring.calculator import ProbCalculator
+    from gaml_tpu.scoring.config import PairedReadConfig
+    from test_optimizer import build_world
+
+    gr, pc_host, _genome = build_world(tmp_path, seed=29, n_pairs=30)
+    gr2, pc_dev, _ = build_world(tmp_path, seed=29, n_pairs=30)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                ("reads", "cand"))
+    pc_dev.enable_sharded_paired(mesh, incremental=True)
+
+    def run(gr_, pc_, prefix):
+        settings = AssemblySettings(threshold=500,
+                                    output_prefix=str(tmp_path / prefix),
+                                    max_iterations=25, seed=7)
+        opt = Optimizer(gr_, pc_, settings, longest_read=250,
+                        log=lambda *a: None)
+        best = opt.run([[0], [4], [8]])
+        return best, opt.best_prob
+
+    best_h, prob_h = run(gr, pc_host, "host")
+    best_d, prob_d = run(gr2, pc_dev, "dev")
+    assert [list(w) for w in best_d] == [list(w) for w in best_h]
+    assert prob_d == pytest.approx(prob_h, rel=1e-9, abs=1e-9)
