@@ -416,3 +416,93 @@ cache_prefix={tmp_path}/cache2
     our_score, our_len, zeros = our_start_prob(cfg)
     assert our_len == ref_len
     assert our_score == pytest.approx(ref_score, abs=2e-6)
+
+
+def test_reference_incremental_erase_path(tmp_path, reference_binary):
+    """Erase-path differential (VERDICT r2 item 7): successive
+    starting_assembly configs form the walk-set sequence
+    [A, A, C] -> [A, C] -> [C] -> [A, C]; the reference binary scores each
+    set FRESH (start prob), while OUR side reuses one ProbCalculator whose
+    paired ScoringState crosses a duplicated-walk erase, a full erase, and
+    a re-add-after-erase (GetChanges erase semantics,
+    graph.cc:1745-1764,1936-1950; EraseFromScoringState bad_bases and
+    per-read subtraction).  Scaffolds share no 101-mers, so dropping one
+    never changes the others' bootstrap subgraphs — the walk *sequences*
+    are identical across runs and the likelihoods directly comparable."""
+    rng = np.random.default_rng(31337)
+    p1 = random_seq(rng, 1400)
+    p2 = random_seq(rng, 1200)
+    p3 = random_seq(rng, 1100)
+    p4 = random_seq(rng, 1000)
+    scf_a = p1 + "N" * 40 + p2
+    # C must stay breakable even when it is the ONLY walk (step 3): the
+    # reference's move loop counts only *successful* moves toward
+    # max_iterations, so a lone unbreakable walk spins forever
+    scf_c = p3 + "N" * 30 + p4
+
+    genome1 = p1 + p2
+    L, im, istd = 34, 260, 25
+    m1, m2 = make_pairs(rng, genome1, 70, L, im, istd)
+    m1b, m2b = make_pairs(rng, p3 + p4, 30, L, im, istd)
+    write_fastq(str(tmp_path / "em1.fq"), list(m1) + list(m1b))
+    write_fastq(str(tmp_path / "em2.fq"), list(m2) + list(m2b))
+
+    def cfg_for(step, scaffolds):
+        fa = tmp_path / f"er{step}.fasta"
+        fa.write_text("".join(f">s{i}\n{s}\n"
+                              for i, s in enumerate(scaffolds)))
+        cfg = tmp_path / f"er{step}.cfg"
+        cfg.write_text(f"""starting_assembly={fa}
+max_iterations=0
+output_prefix={tmp_path}/erout{step}
+
+[plib]
+type=paired
+filename1={tmp_path}/em1.fq
+filename2={tmp_path}/em2.fq
+insert_mean={im}
+insert_std={istd}
+penalty_constant=0.0001
+cache_prefix={tmp_path}/epc{step}
+""")
+        return fa, cfg
+
+    steps = [("1", [scf_a, scf_a, scf_c]),   # duplicated walk present
+             ("2", [scf_a, scf_c]),          # erase the duplicate
+             ("3", [scf_c]),                 # erase A entirely
+             ("4", [scf_a, scf_c])]          # re-add A after its erase
+
+    from gaml_tpu.assembly_import import add_missing_big_nodes, clip_paths
+    from gaml_tpu.core.graph import Graph
+    from gaml_tpu.graph_from_assembly import get_graph_from_assembly
+
+    # bootstrap OUR graph + walks once, from the step-1 FASTA
+    fa1, cfg1 = cfg_for(*steps[0])
+    gr = Graph()
+    paths1 = get_graph_from_assembly(str(fa1), gr)
+    paths1 = clip_paths(paths1, gr)
+    add_missing_big_nodes(paths1, gr)
+    assert len(paths1) == 3
+    assert paths1[0] == paths1[1], "scaffold B must bootstrap to a dup walk"
+    p_a, _p_b, p_c = paths1
+    our_sets = {"1": [p_a, p_a, p_c], "2": [p_a, p_c], "3": [p_c],
+                "4": [p_a, p_c]}
+
+    configs, rs_cfgs = load_config(str(cfg1))
+    single, paired, pacbio = prepare_read_sets(rs_cfgs)
+    for _cfg, (rs1, rs2) in paired:
+        for rs in (rs1, rs2):
+            rs.preprocess_reads()
+            rs.prepare_read_index()
+    pc = ProbCalculator(single, paired, pacbio, gr)
+
+    for step, scaffolds in steps:
+        _fa, cfg = cfg_for(step, scaffolds)
+        ref_score, ref_len = run_reference(cfg, tmp_path)
+        our_score, our_len = pc.calc_prob(our_sets[step])
+        assert our_len == ref_len, step
+        assert our_score == pytest.approx(ref_score, abs=2e-6), step
+    # the state really crossed erases: bad_bases and probs are reused
+    st = pc.paired_scoring_states[0]
+    assert [list(w) for w in st.old_paths] == [list(w) for w in
+                                               our_sets["4"]]
