@@ -326,9 +326,14 @@ class SubpathAligner:
         return out
 
     def _align_subpaths_batch_native(self, graph, paths, bundle):
+        import os as _os
+        import time as _time
+
         from ..native import query_windows_batch
         from ..ops.extend import extend_staged, stage_candidates_uniform
 
+        _dbg = _os.environ.get("GAML_DEV_DEBUG") == "1"
+        _t0 = _time.perf_counter()
         rl = self.index.read_len
         out: List[AlignmentColumns] = [None] * len(paths)
         seqs: List[np.ndarray] = []
@@ -346,6 +351,11 @@ class SubpathAligner:
             return out
 
         qs = query_windows_batch(bundle, seqs)
+        if _dbg:
+            _t1 = _time.perf_counter()
+            print(f"[batch] windows={len(seqs)} query={_t1 - _t0:.2f}s",
+                  flush=True)
+            _t0 = _t1
         counts = np.array([len(q[0]) for q in qs], dtype=np.int64)
         spans = np.zeros(len(qs) + 1, dtype=np.int64)
         np.cumsum(counts, out=spans[1:])
@@ -373,8 +383,16 @@ class SubpathAligner:
 
                 ext = self._device_extender = DeviceExtender(
                     bundle.codes_fwd, bundle.codes_rc)
+            if _dbg:
+                _t1 = _time.perf_counter()
+                print(f"[batch] stage={_t1 - _t0:.2f}s", flush=True)
+                _t0 = _t1
             ok, errs, begin = ext.run(seq_buf, seq_base, seq_lens, seq_idx,
                                       g0, r0, rows, orient)
+            if _dbg:
+                _t1 = _time.perf_counter()
+                print(f"[batch] ext.run={_t1 - _t0:.2f}s", flush=True)
+                _t0 = _t1
         else:
             st = stage_candidates_uniform(
                 seq_buf, seq_base, seq_lens, seq_idx, g0, r0, rows, orient,
@@ -402,6 +420,9 @@ class SubpathAligner:
             sel = order[first]
             out[si] = AlignmentColumns(pos_w[sel], ed_w[sel], rid_w[sel],
                                        or_w[sel])
+        if _dbg:
+            print(f"[batch] scatter={_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
         return out
 
     def align_seq(self, seq: np.ndarray, offset: int = 0) -> AlignmentColumns:

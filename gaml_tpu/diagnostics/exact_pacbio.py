@@ -118,22 +118,10 @@ class ExactPacbioReadSet(PacbioReadSet):
         return [aligment_probability(s1, s2, align, log_m, log_mm)
                 for (s1, s2, align) in jobs]
 
-    def _fill_missing_ranges(self, graph, path, missing) -> None:
-        """Sequential per-range slow fills (the production multi-range
-        device batching doesn't apply to the exact host DP)."""
-        missing.sort()
-        ranges = []
-        last_end = -47
-        last_begin = -47
-        for a, b in missing:
-            if a > last_end:
-                if last_end != -47:
-                    ranges.append((last_begin, last_end))
-                last_begin, last_end = a, b
-            last_end = max(last_end, b)
-        if last_end != -47:
-            ranges.append((last_begin, last_end))
-        for a, b in ranges:
-            prep = self._slow_prepare(graph, path[a:b + 1])
+    def _run_preps(self, preps) -> None:
+        """Sequential per-prep slow fills (the production multi-range
+        device batching doesn't apply to the exact host DP — its job
+        tuples carry full CIGAR alignments, not concatenable extents)."""
+        for prep in preps:
             self._slow_apply(prep, self._forward_batch(prep["seq"],
                                                        prep["jobs"]))

@@ -272,8 +272,18 @@ class DeviceExtender:
             buf[:n_rows, :self.L] = codes
             return jax.device_put(jnp.asarray(_pack_words_np(buf)))
 
-        self.fwd_words = pack_resident(codes_fwd)
-        self.rc_words = pack_resident(codes_rc)
+        if os.environ.get("GAML_DEV_DEBUG") == "1":
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            self.fwd_words = pack_resident(codes_fwd)
+            self.rc_words = pack_resident(codes_rc)
+            jax.block_until_ready((self.fwd_words, self.rc_words))
+            print(f"[dev.init] rows={n_rows} pad={self.n_rows_pad} "
+                  f"upload={_time.perf_counter() - _t0:.2f}s", flush=True)
+        else:
+            self.fwd_words = pack_resident(codes_fwd)
+            self.rc_words = pack_resident(codes_rc)
 
     # --------------------------------------------------------------- run
     def run(self, seq_buf: np.ndarray, seq_base: np.ndarray,
@@ -355,6 +365,11 @@ class DeviceExtender:
             errs = jnp.concatenate([o[1][1][:o[0]] for o in outs])
             begin = jnp.concatenate([o[1][2][:o[0]] for o in outs])
             return ok, errs, begin
+        if debug:
+            _t0 = _time.perf_counter()
         packed = np.concatenate(
             [np.asarray(o[1][3])[:o[0]] for o in outs])
+        if debug:
+            print(f"[dev.run] fetch={_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
         return unpack_results(packed)

@@ -34,6 +34,80 @@ class ShardedPacbioScorer:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
         self._fns = {}
+        self._forward_fns = {}
+
+    # ------------------------------------------------------- forward DP
+    def _make_forward(self, rmax: int, width: int):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.forward import banded_forward
+
+        def shard_fn(genome, reads, rlens, centers, gstarts, glens, lm,
+                     lmm):
+            # pure data parallelism over the job axis: each shard runs the
+            # banded forward on its jobs slice against the replicated
+            # target buffer; no cross-shard terms
+            return banded_forward(genome, reads, rlens, centers, gstarts,
+                                  glens, lm, lmm, rmax, width)
+
+        return jax.jit(jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P(), P("reads"), P("reads"), P("reads"), P("reads"),
+                      P("reads"), P(), P()),
+            out_specs=P("reads"), check_vma=False))
+
+    def forward_fn(self, b_pad: int, g_pad: int, rmax: int, width: int):
+        key = (b_pad, g_pad, rmax, width)
+        fn = self._forward_fns.get(key)
+        if fn is None:
+            fn = self._forward_fns[key] = self._make_forward(rmax, width)
+        return fn
+
+    def forward_batch(self, seq: np.ndarray, reads: np.ndarray,
+                      rlens: np.ndarray, centers: np.ndarray,
+                      gstarts: np.ndarray, glens: np.ndarray,
+                      log_match: float, log_mismatch: float,
+                      rmax: int, width: int) -> np.ndarray:
+        """Run one staged forward-DP job batch sharded over the mesh
+        "reads" axis (SURVEY §2.2/§5.8: the PacBio compute itself under
+        the mesh, not just the reduction).  Installed as
+        PacbioReadSet.forward_dispatch by
+        ProbCalculator.enable_sharded_pacbio; per-job outputs are
+        bit-identical to the unsharded jnp kernel (the job axis is purely
+        data-parallel).  Jobs pad to power-of-two multiples of the shard
+        count, targets to power-of-two buffers, so compile count stays
+        logarithmic."""
+        import jax.numpy as jnp
+
+        b = int(reads.shape[0])
+        if b == 0:
+            return np.zeros(0)
+        b_pad = self.nr
+        while b_pad < b:
+            b_pad *= 2
+        g_pad = 4096
+        while g_pad < max(len(seq), 1):
+            g_pad *= 2
+        g = np.full(g_pad, 9, np.uint8)
+        g[:len(seq)] = seq
+        reads_p = np.full((b_pad, reads.shape[1]), 6, np.uint8)
+        reads_p[:b] = reads
+        rlens_p = np.zeros(b_pad, np.int32)
+        rlens_p[:b] = rlens
+        centers_p = np.zeros((b_pad, centers.shape[1]), np.int32)
+        centers_p[:b] = centers
+        gstarts_p = np.zeros(b_pad, np.int32)
+        gstarts_p[:b] = gstarts
+        glens_p = np.zeros(b_pad, np.int32)
+        glens_p[:b] = glens
+        fn = self.forward_fn(b_pad, g_pad, rmax, width)
+        out = fn(jnp.asarray(g), jnp.asarray(reads_p),
+                 jnp.asarray(rlens_p), jnp.asarray(centers_p),
+                 jnp.asarray(gstarts_p), jnp.asarray(glens_p),
+                 jnp.asarray(log_match, dtype=self.dtype),
+                 jnp.asarray(log_mismatch, dtype=self.dtype))
+        return np.asarray(out)[:b].astype(np.float64)
 
     def _make(self, n_rows: int, n_pad: int, n_reads: int):
         import jax
@@ -152,6 +226,7 @@ def calc_score_for_pacbio_sharded(graph, paths, read_set, mesh,
     bad_bases = 0
     import bisect
 
+    read_set.precompute_ranges_for_paths(graph, paths)
     for path in paths:
         path = graph.normalize_path(list(path))
         events: List[Tuple[int, int]] = [(-1000, 1), (2000, -3000)]

@@ -125,12 +125,20 @@ class ProbCalculator:
                                                          sorted(collect))
         return [self.score(cand) for cand in candidates]
 
-    def enable_sharded_pacbio(self, mesh, dtype=None) -> None:
-        """Run the PacBio per-read log-sum-exp + floored reduction on a
-        device mesh (parallel.pacbio_sharded)."""
+    def enable_sharded_pacbio(self, mesh, dtype=None,
+                              forward_on_mesh: bool = True) -> None:
+        """Run the PacBio scoring on a device mesh
+        (parallel.pacbio_sharded): the per-read log-sum-exp + floored
+        reduction under shard_map, and — unless forward_on_mesh=False —
+        the banded forward-DP compute itself, sharded over the job axis
+        (the scorer installs itself as each read set's forward executor)."""
         from ..parallel.pacbio_sharded import ShardedPacbioScorer
 
-        self._sharded_pacbio = (mesh, ShardedPacbioScorer(mesh, dtype=dtype))
+        scorer = ShardedPacbioScorer(mesh, dtype=dtype)
+        self._sharded_pacbio = (mesh, scorer)
+        if forward_on_mesh:
+            for _cfg, rs in self.pacbio_reads:
+                rs.forward_dispatch = scorer.forward_batch
 
     def enable_sharded_paired(self, mesh, dtype=None,
                               incremental: bool = False) -> None:

@@ -282,6 +282,20 @@ class PacbioReadSet:
         # jax at all.  Threshold in DP cells, GAML_PB_DEVICE_MIN_CELLS.
         width = self.forward_width or 64
         cells = int(rlens.sum()) * width
+        prof = getattr(self, "dp_cells", None)
+        if prof is None:
+            prof = self.dp_cells = {}
+
+        # mesh mode: a ShardedPacbioScorer installed itself as the forward
+        # executor — ALL forward-DP cells run under the device mesh
+        dispatch = getattr(self, "forward_dispatch", None)
+        if dispatch is not None:
+            out = dispatch(seq, reads, rlens, centers, gstarts, glens,
+                           float(np.log(self.match_prob)),
+                           float(np.log(self.mismatch_prob)), rmax, width)
+            prof["mesh"] = prof.get("mesh", 0) + cells
+            return [float(x) for x in out]
+
         min_cells = int(__import__("os").environ.get(
             "GAML_PB_DEVICE_MIN_CELLS", 20_000_000))
         if cells < min_cells:
@@ -294,6 +308,7 @@ class PacbioReadSet:
                     seq, reads, rlens, centers, gstarts, glens,
                     float(np.log(self.match_prob)),
                     float(np.log(self.mismatch_prob)), width)
+                prof["native"] = prof.get("native", 0) + cells
                 return [float(x) for x in out]
 
         import jax
@@ -308,6 +323,7 @@ class PacbioReadSet:
                 seq, reads, rlens, centers, gstarts, glens,
                 float(np.log(self.match_prob)),
                 float(np.log(self.mismatch_prob)), rmax)
+            prof["pallas"] = prof.get("pallas", 0) + cells
             return [float(x) for x in out]
 
         from ..ops.forward import banded_forward
@@ -318,6 +334,7 @@ class PacbioReadSet:
             jnp.asarray(gstarts), jnp.asarray(glens),
             float(np.log(self.match_prob)), float(np.log(self.mismatch_prob)),
             rmax, self.forward_width)
+        prof["jnp"] = prof.get("jnp", 0) + cells
         return [float(x) for x in np.asarray(out)]
 
     def _spell_with_positions(self, graph, path: Sequence[int]):
@@ -458,11 +475,10 @@ class PacbioReadSet:
         logprobs = self._forward_batch(prep["seq"], prep["jobs"])
         return self._slow_apply(prep, logprobs)
 
-    def _fill_missing_ranges(self, graph, path, missing) -> None:
+    def _prep_ranges(self, graph, path, missing) -> list:
         """Merge overlapping missing (i, j) windows into ranges (reference
-        graph.cc:2456-2476) and fill them — all ranges share ONE forward-DP
-        device batch: the kernel takes concatenated targets with per-job
-        extents, so the per-call (tunnel) latency is paid once per rescore."""
+        graph.cc:2456-2476) and build their slow-path preps (cache keys
+        reserved, jobs chained) without running the forward DP."""
         missing.sort()
         ranges = []
         last_end = -47
@@ -475,7 +491,14 @@ class PacbioReadSet:
             last_end = max(last_end, b)
         if last_end != -47:
             ranges.append((last_begin, last_end))
-        preps = [self._slow_prepare(graph, path[a:b + 1]) for a, b in ranges]
+        return [self._slow_prepare(graph, path[a:b + 1]) for a, b in ranges]
+
+    def _run_preps(self, preps) -> None:
+        """Run every prep's forward-DP jobs in ONE device batch (the kernel
+        takes concatenated targets with per-job extents, so the per-call
+        (tunnel) latency and dispatch are paid once), then apply."""
+        if not preps:
+            return
         if len(preps) == 1:
             prep = preps[0]
             self._slow_apply(prep, self._forward_batch(prep["seq"],
@@ -497,6 +520,52 @@ class PacbioReadSet:
         for prep, k in zip(preps, counts):
             self._slow_apply(prep, logprobs[at:at + k])
             at += k
+
+    def _fill_missing_ranges(self, graph, path, missing) -> None:
+        self._run_preps(self._prep_ranges(graph, path, missing))
+
+    def _missing_windows(self, graph, path) -> list:
+        """The (i, j) node-window indexes of ``path`` absent from the
+        alignment cache (the window enumeration of GetReadProbabilities,
+        graph.cc:2438-2454)."""
+        begins, ends = [], []
+        seq_len = 0
+        for e in path:
+            begins.append(seq_len)
+            seq_len += -e if e < 0 else graph.node_len(e)
+            ends.append(seq_len)
+        missing = []
+        for i in range(len(path)):
+            subpath = []
+            for j in range(i, len(path)):
+                subpath.append(path[j])
+                if tuple(subpath) not in self.aligment_cache:
+                    missing.append((i, j))
+                if ends[j] - begins[i] - (ends[i] - begins[i]) > \
+                        self.max_read_len:
+                    break
+        return missing
+
+    def precompute_ranges_for_paths(self, graph, paths) -> None:
+        """Fill every walk's missing cache windows in ONE forward-DP batch
+        (the PacBio analogue of the short-read bulk precompute): a full
+        rescore over N walks pays one device dispatch instead of N, which
+        is what pushes the bulk batch over the device-routing threshold
+        (VERDICT r2 item 2).  Cache evolution is identical to the
+        sequential per-walk fills: each prep reserves its windows before
+        the next prep is built, exactly as interleaved prep/apply would."""
+        preps = []
+        seen = set()
+        for path in paths:
+            path = graph.normalize_path(list(path))
+            key = tuple(path)
+            if key in seen:
+                continue
+            seen.add(key)
+            missing = self._missing_windows(graph, path)
+            if missing:
+                preps.extend(self._prep_ranges(graph, path, missing))
+        self._run_preps(preps)
 
     # --------------------------------------------------- cached positions
     def get_read_probabilities(self, graph, path: Sequence[int]):

@@ -71,6 +71,9 @@ def calc_score_for_pacbio(graph, paths: Sequence[Sequence[int]], read_set,
     read_probs = np.full(read_set.get_number_of_reads(), -np.inf)
     total_len = 0
     bad_bases = 0
+    # all walks' missing windows in ONE forward-DP device batch; the
+    # per-walk loop below then scores from cache
+    read_set.precompute_ranges_for_paths(graph, paths)
     for path in paths:
         path = graph.normalize_path(list(path))
         ctgs = [path]
