@@ -265,10 +265,14 @@ class SubpathAligner:
         seq, offset = spell_subpath(graph, path)
         return self.align_seq(seq, offset)
 
-    def align_subpaths_batch(self, graph, paths: List[Sequence[int]]):
+    def align_subpaths_batch(self, graph, paths: List[Sequence[int]],
+                             defer: bool = False):
         """Device backend: align many subpaths in ONE batched kernel call
         (amortizes device dispatch across windows).  Returns a list of
-        Alignment lists parallel to ``paths``.
+        Alignment lists parallel to ``paths`` — or, with ``defer``, a
+        zero-arg closure producing it after the (already-dispatched)
+        device work completes, so callers can pipeline several read sets'
+        batches before blocking on any result.
 
         With the native bundle attached the host side is fully vectorized:
         candidate generation runs in C++ (query_windows_batch,
@@ -277,7 +281,8 @@ class SubpathAligner:
         Python loop anywhere."""
         bundle = getattr(self, "native_bundle", None)
         if bundle is not None:
-            return self._align_subpaths_batch_native(graph, paths, bundle)
+            return self._align_subpaths_batch_native(graph, paths, bundle,
+                                                     defer=defer)
         from ..ops.extend import batch_extend_multi
 
         seqs = []
@@ -323,9 +328,10 @@ class SubpathAligner:
                     current[key] = al
             out[si] = AlignmentColumns.from_tuples(
                 [current[k] for k in sorted(current)])
-        return out
+        return (lambda: out) if defer else out
 
-    def _align_subpaths_batch_native(self, graph, paths, bundle):
+    def _align_subpaths_batch_native(self, graph, paths, bundle,
+                                     defer: bool = False):
         import os as _os
         import time as _time
 
@@ -348,7 +354,7 @@ class SubpathAligner:
             seqs.append(np.ascontiguousarray(seq, dtype=np.uint8))
             offsets.append(offset)
         if not keep:
-            return out
+            return (lambda: out) if defer else out
 
         qs = query_windows_batch(bundle, seqs)
         if _dbg:
@@ -362,7 +368,7 @@ class SubpathAligner:
         if spans[-1] == 0:
             for si in keep:
                 out[si] = _EMPTY_COLUMNS_ALIGNER
-            return out
+            return (lambda: out) if defer else out
         rid = np.concatenate([q[0] for q in qs])
         g0 = np.concatenate([q[1] for q in qs])
         r0 = np.concatenate([q[2] for q in qs])
@@ -387,43 +393,48 @@ class SubpathAligner:
                 _t1 = _time.perf_counter()
                 print(f"[batch] stage={_t1 - _t0:.2f}s", flush=True)
                 _t0 = _t1
-            ok, errs, begin = ext.run(seq_buf, seq_base, seq_lens, seq_idx,
-                                      g0, r0, rows, orient)
+            fin = ext.run(seq_buf, seq_base, seq_lens, seq_idx,
+                          g0, r0, rows, orient, defer=True)
             if _dbg:
                 _t1 = _time.perf_counter()
-                print(f"[batch] ext.run={_t1 - _t0:.2f}s", flush=True)
+                print(f"[batch] ext.dispatch={_t1 - _t0:.2f}s", flush=True)
                 _t0 = _t1
         else:
             st = stage_candidates_uniform(
                 seq_buf, seq_base, seq_lens, seq_idx, g0, r0, rows, orient,
                 bundle.codes_fwd, bundle.codes_rc, read_ids=rid)
-            ok, errs, begin = extend_staged(st, use_pallas=False)
+            res = extend_staged(st, use_pallas=False)
+            fin = lambda: res  # noqa: E731
 
-        off_arr = np.asarray(offsets, dtype=np.int64)
-        pos_all = begin.astype(np.int64) + 1 + off_arr[seq_idx]
-        for w, si in enumerate(keep):
-            a, b = int(spans[w]), int(spans[w + 1])
-            m = ok[a:b]
-            if not m.any():
-                out[si] = _EMPTY_COLUMNS_ALIGNER
-                continue
-            pos_w = pos_all[a:b][m].astype(np.int32)
-            rid_w = rid[a:b][m]
-            ed_w = errs[a:b][m]
-            or_w = orient[a:b][m]
-            # first-wins (position, rid) dedup in emission order, output
-            # sorted by (position, rid) — the set<Aligment> semantics
-            order = np.lexsort((np.arange(len(pos_w)), rid_w, pos_w))
-            ps, rs = pos_w[order], rid_w[order]
-            first = np.ones(len(ps), dtype=bool)
-            first[1:] = (ps[1:] != ps[:-1]) | (rs[1:] != rs[:-1])
-            sel = order[first]
-            out[si] = AlignmentColumns(pos_w[sel], ed_w[sel], rid_w[sel],
-                                       or_w[sel])
-        if _dbg:
-            print(f"[batch] scatter={_time.perf_counter() - _t0:.2f}s",
-                  flush=True)
-        return out
+        def postprocess():
+            ok, errs, begin = fin()
+            off_arr = np.asarray(offsets, dtype=np.int64)
+            pos_all = begin.astype(np.int64) + 1 + off_arr[seq_idx]
+            for w, si in enumerate(keep):
+                a, b = int(spans[w]), int(spans[w + 1])
+                m = ok[a:b]
+                if not m.any():
+                    out[si] = _EMPTY_COLUMNS_ALIGNER
+                    continue
+                pos_w = pos_all[a:b][m].astype(np.int32)
+                rid_w = rid[a:b][m]
+                ed_w = errs[a:b][m]
+                or_w = orient[a:b][m]
+                # first-wins (position, rid) dedup in emission order,
+                # output sorted by (position, rid) — set<Aligment> semantics
+                order = np.lexsort((np.arange(len(pos_w)), rid_w, pos_w))
+                ps, rs = pos_w[order], rid_w[order]
+                first = np.ones(len(ps), dtype=bool)
+                first[1:] = (ps[1:] != ps[:-1]) | (rs[1:] != rs[:-1])
+                sel = order[first]
+                out[si] = AlignmentColumns(pos_w[sel], ed_w[sel],
+                                           rid_w[sel], or_w[sel])
+            if _dbg:
+                print(f"[batch] fetch+scatter="
+                      f"{_time.perf_counter() - _t0:.2f}s", flush=True)
+            return out
+
+        return postprocess if defer else postprocess()
 
     def align_seq(self, seq: np.ndarray, offset: int = 0) -> AlignmentColumns:
         """Align all candidate reads against an arbitrary sequence; returns

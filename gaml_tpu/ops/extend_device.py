@@ -289,10 +289,18 @@ class DeviceExtender:
     def run(self, seq_buf: np.ndarray, seq_base: np.ndarray,
             seq_lens: np.ndarray, seq_idx: np.ndarray, g0: np.ndarray,
             r0: np.ndarray, rows: np.ndarray, orient: np.ndarray,
-            use_pallas: bool = None, return_device: bool = False):
+            use_pallas: bool = None, return_device: bool = False,
+            defer: bool = False):
         """Returns (ok, errs, begin) for the N candidates — numpy arrays,
         or padded device arrays (length >= n) when return_device so a
         downstream on-device reduction avoids the round trip.
+
+        With ``defer`` the dispatches still happen eagerly (JAX is async)
+        but the blocking result fetch is packaged into the returned
+        zero-arg closure — callers pipelining several read sets' batches
+        dispatch ALL of them first and fetch at the end, overlapping
+        upload/compute across batches and collapsing several tunnel block
+        points into one.
 
         Batches larger than GAML_DEV_CHUNK candidates are dispatched as a
         sequence of fixed-shape chunks sharing ONE uploaded window buffer:
@@ -304,8 +312,9 @@ class DeviceExtender:
 
         n = len(g0)
         if n == 0:
-            return (np.zeros(0, bool), np.zeros(0, np.int32),
-                    np.zeros(0, np.int32))
+            empty = (np.zeros(0, bool), np.zeros(0, np.int32),
+                     np.zeros(0, np.int32))
+            return (lambda: empty) if defer else empty
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform not in ("cpu",) and \
                 os.environ.get("GAML_USE_PALLAS", "1") == "1"
@@ -349,27 +358,26 @@ class DeviceExtender:
                 jnp.asarray(pad32(rows)), jnp.asarray(pad32(orient)))))
         if debug:
             t_disp = _time.perf_counter() - _t0
-            _t0 = _time.perf_counter()
-            import jax as _jax
 
-            _jax.block_until_ready([o[1][3] for o in outs])
-            print(f"[dev.run] n={n} chunks={len(outs)} s_pad={s_pad} "
-                  f"dispatch={t_disp:.2f}s exec+fetchwait="
-                  f"{_time.perf_counter() - _t0:.2f}s", flush=True)
+        def finish():
+            if debug:
+                import time as _time
 
-        if return_device:
-            if len(outs) == 1:
-                ok, errs, begin, _packed = outs[0][1]
+                _t1 = _time.perf_counter()
+            if return_device:
+                if len(outs) == 1:
+                    ok, errs, begin, _packed = outs[0][1]
+                    return ok, errs, begin
+                ok = jnp.concatenate([o[1][0][:o[0]] for o in outs])
+                errs = jnp.concatenate([o[1][1][:o[0]] for o in outs])
+                begin = jnp.concatenate([o[1][2][:o[0]] for o in outs])
                 return ok, errs, begin
-            ok = jnp.concatenate([o[1][0][:o[0]] for o in outs])
-            errs = jnp.concatenate([o[1][1][:o[0]] for o in outs])
-            begin = jnp.concatenate([o[1][2][:o[0]] for o in outs])
-            return ok, errs, begin
-        if debug:
-            _t0 = _time.perf_counter()
-        packed = np.concatenate(
-            [np.asarray(o[1][3])[:o[0]] for o in outs])
-        if debug:
-            print(f"[dev.run] fetch={_time.perf_counter() - _t0:.2f}s",
-                  flush=True)
-        return unpack_results(packed)
+            packed = np.concatenate(
+                [np.asarray(o[1][3])[:o[0]] for o in outs])
+            if debug:
+                print(f"[dev.run] n={n} chunks={len(outs)} s_pad={s_pad} "
+                      f"dispatch={t_disp:.2f}s fetch="
+                      f"{_time.perf_counter() - _t1:.2f}s", flush=True)
+            return unpack_results(packed)
+
+        return finish if defer else finish()

@@ -40,6 +40,7 @@ class ProbCalculator:
         # one tuple-ization (and one content hash cost per lookup site)
         # per iteration, shared across every read set's scorer
         keys = [p if type(p) is tuple else tuple(p) for p in paths]
+        self.prefetch_alignments(paths, keys)
         for cfg, rs in self.single_reads:
             score, zero, total_len = calc_score_for_paths_single(
                 self.graph, paths, rs,
@@ -92,6 +93,36 @@ class ProbCalculator:
 
     def score(self, paths: Sequence[Sequence[int]]) -> float:
         return self.calc_prob(paths)[0]
+
+    def prefetch_alignments(self, paths, keys=None) -> None:
+        """Pipeline the short-read device-backend miss batches across ALL
+        read sets: collect every set's missing windows, dispatch each
+        set's kernel batch (async), then block on all results at the end.
+        A bulk rescore's four read sets pay ONE collective wait instead of
+        four serial dispatch+fetch round trips — on a tunneled chip this
+        both overlaps upload/compute and quarters the number of blocking
+        RPC points.  No-op for non-device read sets; cache evolution is
+        identical to the sequential precompute (same window unions, same
+        insert wave)."""
+        all_rs = [rs for _c, rs in self.single_reads]
+        for _c, (r1, r2) in self.paired_reads:
+            all_rs.append(r1)
+            if r2 is not r1:
+                all_rs.append(r2)
+        finishers = []
+        for rs in all_rs:
+            if rs.backend != "device":
+                continue
+            collect = set()
+            rs.precompute_alignment_for_paths(paths, self.graph, keys=keys,
+                                              collect_into=collect)
+            if collect:
+                fin = rs.precompute_alignment_for_subpaths(
+                    self.graph, sorted(collect), defer=True)
+                if fin is not None:
+                    finishers.append(fin)
+        for fin in finishers:
+            fin()
 
     def score_batch(self, candidates) -> List[float]:
         """Score several candidate walk-sets that will ALL be evaluated

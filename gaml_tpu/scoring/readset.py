@@ -525,10 +525,17 @@ class ReadSet:
         return last_out, bool(memoizable)
 
     def precompute_alignment_for_subpaths(self, graph,
-                                          subpaths: Sequence[Subpath]) -> None:
+                                          subpaths: Sequence[Subpath],
+                                          defer: bool = False):
         """Reference PrecomputeAligmentForSubpaths (graph.cc:911-922,
         internal-aligner branch).  The device backend batches every window
-        into one kernel call."""
+        into one kernel call.
+
+        ``defer``: on the device bulk path, dispatch the kernel work and
+        return a zero-arg closure that blocks on the results and fills the
+        cache — callers pipelining several read sets dispatch all batches
+        before fetching any (ProbCalculator.prefetch_alignments).  Paths
+        that complete synchronously return None."""
         if subpaths:
             self.cache_version += 1
         for sp in subpaths:
@@ -546,16 +553,26 @@ class ReadSet:
                           for e in sp)
                 if est < self._dev_min_bases:
                     self._precompute_native_batch(graph, subpaths, bundle)
-                    return
-            results = self.aligner.align_subpaths_batch(graph, list(subpaths))
-            for sp, als in zip(subpaths, results):
-                self.aligment_cache[sp] = als
-            return
+                    return None
+            fin_align = self.aligner.align_subpaths_batch(
+                graph, list(subpaths), defer=defer)
+
+            def finish(results=None):
+                if results is None:
+                    results = fin_align()
+                for sp, als in zip(subpaths, results):
+                    self.aligment_cache[sp] = als
+
+            if defer:
+                return finish
+            finish(fin_align)
+            return None
         if bundle is not None and self.backend == "bfs" and len(subpaths) > 1:
             self._precompute_native_batch(graph, subpaths, bundle)
-            return
+            return None
         for sp in subpaths:
             self.aligment_cache[sp] = self.aligner.align_subpath(graph, sp)
+        return None
 
     def _precompute_native_batch(self, graph, subpaths, bundle) -> None:
         """One native call, OpenMP-parallel across windows."""
