@@ -28,14 +28,20 @@ BAND8 = 8  # band padded to one sublane tile; row 7 (d=+4) is masked off
 
 
 def _dp_kernel(read_ref, gwin_ref, rlen_ref, glen_ref, c_ref, a_ref,
-               *, rmax: int):
+               *, rmax: int, width: int = LANES):
+    """Rows are processed DESCENDING in groups of 8: each group loads one
+    sublane-ALIGNED (16, width) genome tile and one (8, width) read tile,
+    and the 8 unrolled row steps slice them statically — Mosaic requires
+    dynamic sublane starts to be multiples of 8 for wide vector loads
+    (group start = base_r + PAD - 4 with 8 | base_r and PAD = 20), and the
+    grouping also cuts VMEM ref loads 8x vs a per-row dynamic slice."""
     rlen = rlen_ref[0, :]
     glen = glen_ref[0, :]
-    d_off = jax.lax.broadcasted_iota(jnp.int32, (BAND8, LANES), 0) - 3
+    d_off = jax.lax.broadcasted_iota(jnp.int32, (BAND8, width), 0) - 3
     band_ok = d_off <= 3  # row 7 is outside the +-3 band
 
-    inf = jnp.full((BAND8, LANES), INF, jnp.int32)
-    invalid = jnp.full((BAND8, LANES), INVALID_A, jnp.int32)
+    inf = jnp.full((BAND8, width), INF, jnp.int32)
+    invalid = jnp.full((BAND8, width), INVALID_A, jnp.int32)
 
     def shift_dm1(x, fill):
         return jnp.concatenate([fill[:1], x[:-1]], axis=0)
@@ -43,11 +49,8 @@ def _dp_kernel(read_ref, gwin_ref, rlen_ref, glen_ref, c_ref, a_ref,
     def shift_dp1(x, fill):
         return jnp.concatenate([x[1:], fill[:1]], axis=0)
 
-    def body(it, carry):
+    def row_step(r, chars, rchar, carry):
         c_next, a_next = carry
-        r = rmax - 1 - it
-        chars = gwin_ref[pl.ds(r + PAD - 3, BAND8), :]
-        rchar = read_ref[pl.ds(r, 1), :]
         match = chars == rchar
         g_plus_in = (r + d_off + 1) < glen[None, :]
         last_row = (r + 1) == rlen[None, :]
@@ -81,34 +84,69 @@ def _dp_kernel(read_ref, gwin_ref, rlen_ref, glen_ref, c_ref, a_ref,
         a_row = jnp.where(in_accept, d_off, a_row)
         return c_row, a_row
 
-    c_init = jnp.zeros((BAND8, LANES), jnp.int32)
+    n_groups = rmax // 8  # rmax is rounded to a multiple of 32 upstream
+
+    def body(kk, carry):
+        base_r = rmax - 8 * (kk + 1)
+        # Mosaic needs PROOF that wide vector-load sublane starts are
+        # 8-aligned; both starts are 8 | base_r (+16) by construction
+        gtile = gwin_ref[pl.ds(pl.multiple_of(base_r + (PAD - 4), 8),
+                               16), :]
+        rtile = read_ref[pl.ds(pl.multiple_of(base_r, 8), 8), :]
+        for o in range(7, -1, -1):
+            # row r = base_r + o needs genome rows r+PAD-3 .. r+PAD+4 =
+            # tile offsets o+1 .. o+8 (static slice of the loaded value)
+            carry = row_step(base_r + o, gtile[o + 1:o + 9],
+                             rtile[o:o + 1], carry)
+        return carry
+
+    c_init = jnp.zeros((BAND8, width), jnp.int32)
     a_init = d_off
-    c0, a0 = jax.lax.fori_loop(0, rmax, body, (c_init, a_init))
+    c0, a0 = jax.lax.fori_loop(0, n_groups, body, (c_init, a_init))
     c_ref[0, :] = c0[3, :]
     a_ref[0, :] = a0[3, :]
 
 
-@functools.partial(jax.jit, static_argnames=("rmax", "interpret"))
+def _block_width(n: int) -> int:
+    """Candidate-axis block width per grid program: the largest
+    power-of-two divisor of n, capped at GAML_PALLAS_W (default 1024).
+    Wider blocks amortize the sequential row loop's per-op overhead over
+    more lanes (the (8, 128) tiles of the original kernel left the VPU
+    mostly idle between row steps); VMEM per program is
+    (2*rmax + 2*PAD + 4) * W * 4 B — ~1 MB at rmax=96, W=1024."""
+    import os
+
+    cap = int(os.environ.get("GAML_PALLAS_W", "1024"))
+    w = LANES
+    while w * 2 <= cap and n % (w * 2) == 0:
+        w *= 2
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("rmax", "interpret", "width"))
 def dp_rows_pallas(read_t, gwin_t, rlen, glen, rmax: int,
-                   interpret: bool = False):
+                   interpret: bool = False, width: int = 0):
     """read_t [rmax, N] i32; gwin_t [rmax+2*PAD, N] i32; rlen/glen [1, N].
-    Returns (c0, a0) each [N]."""
+    Returns (c0, a0) each [N].  ``width`` = candidates per grid program
+    (0 = auto via _block_width)."""
     n = read_t.shape[1]
     assert n % LANES == 0
-    grid = (n // LANES,)
-    kernel = functools.partial(_dp_kernel, rmax=rmax)
+    assert rmax % 8 == 0, "row grouping needs 8 | rmax"
+    w = width or _block_width(n)
+    grid = (n // w,)
+    kernel = functools.partial(_dp_kernel, rmax=rmax, width=w)
     c0, a0 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rmax, LANES), lambda i: (0, i)),
-            pl.BlockSpec((rmax + 2 * PAD, LANES), lambda i: (0, i)),
-            pl.BlockSpec((1, LANES), lambda i: (0, i)),
-            pl.BlockSpec((1, LANES), lambda i: (0, i)),
+            pl.BlockSpec((rmax, w), lambda i: (0, i)),
+            pl.BlockSpec((rmax + 2 * PAD, w), lambda i: (0, i)),
+            pl.BlockSpec((1, w), lambda i: (0, i)),
+            pl.BlockSpec((1, w), lambda i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, LANES), lambda i: (0, i)),
-            pl.BlockSpec((1, LANES), lambda i: (0, i)),
+            pl.BlockSpec((1, w), lambda i: (0, i)),
+            pl.BlockSpec((1, w), lambda i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.int32),
