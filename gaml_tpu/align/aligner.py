@@ -383,12 +383,7 @@ class SubpathAligner:
         if self.backend == "device":
             # device-resident path: read matrices live on the chip, the
             # call ships only window bytes + 20 B/candidate metadata
-            ext = getattr(self, "_device_extender", None)
-            if ext is None:
-                from ..ops.extend_device import DeviceExtender
-
-                ext = self._device_extender = DeviceExtender(
-                    bundle.codes_fwd, bundle.codes_rc)
+            ext = self.ensure_device_extender()
             if _dbg:
                 _t1 = _time.perf_counter()
                 print(f"[batch] stage={_t1 - _t0:.2f}s", flush=True)
@@ -435,6 +430,24 @@ class SubpathAligner:
             return out
 
         return postprocess if defer else postprocess()
+
+    def ensure_device_extender(self):
+        """Create (or return) the device-resident extension engine.
+        Construction issues the resident read-matrix uploads as ASYNC
+        device_puts, so callers that touch every read set before the
+        first (compile-blocking) dispatch overlap all uploads with the
+        compile (ProbCalculator.prefetch_alignments does this).
+        Returns None if the native bundle isn't attached yet."""
+        ext = getattr(self, "_device_extender", None)
+        if ext is None:
+            bundle = getattr(self, "native_bundle", None)
+            if bundle is None:
+                return None
+            from ..ops.extend_device import DeviceExtender
+
+            ext = self._device_extender = DeviceExtender(
+                bundle.codes_fwd, bundle.codes_rc)
+        return ext
 
     def align_seq(self, seq: np.ndarray, offset: int = 0) -> AlignmentColumns:
         """Align all candidate reads against an arbitrary sequence; returns

@@ -248,6 +248,9 @@ def unpack_results(packed: np.ndarray):
     return ok, errs, begin
 
 
+_ROWS_PAD_SEEN = [1024]  # process-wide max rows bucket (see __init__)
+
+
 class DeviceExtender:
     """Per-read-set device extension engine with resident read matrices."""
 
@@ -262,9 +265,16 @@ class DeviceExtender:
         # packed 4-bit-per-base views, rows padded to a power of two so
         # read sets of similar size share one executable; built once on
         # host and resident on device (the staging gathers then move BPW x
-        # fewer elements than byte gathers)
+        # fewer elements than byte gathers).  Later read sets pad up to
+        # the LARGEST bucket seen in this process (a few extra MB of
+        # resident upload buys executable reuse: every distinct row count
+        # otherwise costs its own ~45 s server-side XLA compile).
+        # GAML_DEV_ROWS_PAD pins the bucket explicitly.
         n_rows = int(codes_fwd.shape[0])
-        self.n_rows_pad = _bucket_pow2(max(n_rows, 1), 1024)
+        env_pad = int(os.environ.get("GAML_DEV_ROWS_PAD", "0"))
+        self.n_rows_pad = max(_bucket_pow2(max(n_rows, 1), 1024),
+                              _ROWS_PAD_SEEN[0], env_pad)
+        _ROWS_PAD_SEEN[0] = self.n_rows_pad
         pad_to4 = (-self.L) % BPW + BPW
 
         def pack_resident(codes):
@@ -320,6 +330,10 @@ class DeviceExtender:
                 os.environ.get("GAML_USE_PALLAS", "1") == "1"
         chunk = int(os.environ.get("GAML_DEV_CHUNK", str(64 * 1024)))
         s_pad = _bucket_pow2(len(seq_buf) + 1, 4096)
+        # multi-chunk batches round the tail UP to the full chunk shape:
+        # one executable serves every chunk (a second tail-shaped
+        # executable costs ~45 s of server-side XLA compile per process)
+        tail_to_chunk = n > chunk
 
         buf = np.zeros(s_pad, dtype=np.uint8)
         buf[:len(seq_buf)] = seq_buf
@@ -341,7 +355,7 @@ class DeviceExtender:
         for c0 in range(0, n, chunk):
             c1 = min(c0 + chunk, n)
             nc = c1 - c0
-            n_pad = _bucket_pow2(nc, 512)
+            n_pad = chunk if tail_to_chunk else _bucket_pow2(nc, 512)
 
             def pad32(a, fill=0):
                 out = np.full(n_pad, fill, dtype=np.int32)

@@ -107,6 +107,134 @@ def _dp_kernel(read_ref, gwin_ref, rlen_ref, glen_ref, c_ref, a_ref,
     a_ref[0, :] = a0[3, :]
 
 
+def _dp_kernel_reg(read_ref, gwin_ref, rlen_ref, glen_ref, c_ref, a_ref,
+                   *, rmax: int):
+    """Band-in-REGISTERS formulation: each band offset d in [-3, +3] is a
+    separate named (8, MB) array, so every cross-band dependency
+    (min/select against d±1) is plain register renaming — ZERO
+    cross-sublane shuffles, vs ~10 per row in the sublane-band kernel
+    (the measured bottleneck: throughput was flat in block width, i.e.
+    latency-bound on the shuffle-heavy serial row chain).  Candidates
+    fill dense (8, MB) tiles (the 8 sublanes are candidates, not band
+    slots); per row the only memory traffic is two (1, 8, MB) row loads
+    (read char + the one new genome row entering the rolling char ring).
+
+    refs: read [rmax, 8, MB], gwin [rmax + 2*PAD, 8, MB],
+    rlen/glen [8, MB]; outs c/a [8, MB] (the d=0 start state)."""
+    rlen = rlen_ref[:, :]
+    glen = glen_ref[:, :]
+    shape = rlen.shape
+
+    inf = jnp.full(shape, INF, jnp.int32)
+    invalid = jnp.full(shape, INVALID_A, jnp.int32)
+
+    def gwin_row(r):
+        return gwin_ref[pl.ds(r, 1), :, :][0]
+
+    def body(it, carry):
+        cs, a_s, ch = carry  # tuples of 7: band d = idx, d_off = idx - 3
+        r = rmax - 1 - it
+        rchar = read_ref[pl.ds(r, 1), :, :][0]
+        match = [ch[d] == rchar for d in range(7)]
+        gpi = [(r + d - 3 + 1) < glen for d in range(7)]
+        last_row = (r + 1) == rlen
+        in_accept = r >= rlen
+
+        diag = [jnp.where(match[d] & (gpi[d] | last_row), cs[d], INF)
+                for d in range(7)]
+        sub = [jnp.where(~match[d] & gpi[d], cs[d] + 1, INF)
+               for d in range(7)]
+        c_dm1 = [inf] + list(cs[:6])
+        rskip = [jnp.where(~match[d], c_dm1[d] + 1, INF) for d in range(7)]
+        c_row = [jnp.minimum(jnp.minimum(diag[d], sub[d]), rskip[d])
+                 for d in range(7)]
+        gskip_ok = [(~match[d]) & gpi[d] for d in range(7)]
+        for _ in range(3):
+            up = list(c_row[1:]) + [inf]
+            c_row = [jnp.where(gskip_ok[d],
+                               jnp.minimum(c_row[d], up[d] + 1), c_row[d])
+                     for d in range(7)]
+        c_row = [jnp.where(in_accept, 0, c_row[d]) for d in range(7)]
+
+        c_up = list(c_row[1:]) + [inf]
+        take_sub = [(~match[d]) & gpi[d] & (cs[d] == c_row[d] - 1)
+                    for d in range(7)]
+        take_gskip = [(~match[d]) & ~take_sub[d] & gskip_ok[d] &
+                      (c_up[d] == c_row[d] - 1) for d in range(7)]
+        take_rskip = [(~match[d]) & ~take_sub[d] & ~take_gskip[d] &
+                      (c_dm1[d] == c_row[d] - 1) for d in range(7)]
+        a_dm1 = [invalid] + list(a_s[:6])
+        a_row = [jnp.where(match[d] | take_sub[d], a_s[d],
+                           jnp.where(take_rskip[d], a_dm1[d], INVALID_A))
+                 for d in range(7)]
+        for _ in range(4):
+            a_up = list(a_row[1:]) + [invalid]
+            a_row = [jnp.where(take_gskip[d], a_up[d], a_row[d])
+                     for d in range(7)]
+        a_row = [jnp.where(in_accept, d - 3, a_row[d]) for d in range(7)]
+
+        # roll the char ring down one genome row (descending r): next row
+        # r-1 has char_d(r-1) = char_{d-1}(r); one new load at gwin row r
+        ch_new = (gwin_row(r),) + tuple(ch[:6])
+        return tuple(c_row), tuple(a_row), ch_new
+
+    c_init = tuple(jnp.zeros(shape, jnp.int32) for _ in range(7))
+    a_init = tuple(jnp.full(shape, d - 3, jnp.int32) for d in range(7))
+    # char_d(rmax-1) = gwin row (rmax - 1) + PAD - 3 + d = rmax + d
+    ch_init = tuple(gwin_row(rmax + d) for d in range(7))
+    cs, a_s, _ch = jax.lax.fori_loop(0, rmax, body,
+                                     (c_init, a_init, ch_init))
+    c_ref[:, :] = cs[3]
+    a_ref[:, :] = a_s[3]
+
+
+def _reg_block(m: int) -> int:
+    """Lanes-dim block for the register kernel (power-of-two divisor of m,
+    capped at GAML_PALLAS_W; VMEM per program ~ (2*rmax + 8) * 8 * MB * 4 B)."""
+    import os
+
+    cap = int(os.environ.get("GAML_PALLAS_W", "512"))
+    w = LANES
+    while w * 2 <= cap and m % (w * 2) == 0:
+        w *= 2
+    return w
+
+
+def dp_rows_pallas_reg(read_t, gwin_t, rlen, glen, rmax: int,
+                       interpret: bool = False):
+    """Register-band variant of dp_rows_pallas (same contract); requires
+    the candidate axis divisible by 8*128."""
+    n = read_t.shape[1]
+    m = n // 8
+    read_r = read_t.reshape(rmax, 8, m)
+    gwin_r = gwin_t.reshape(gwin_t.shape[0], 8, m)
+    rlen_r = rlen.reshape(8, m)
+    glen_r = glen.reshape(8, m)
+    mb = _reg_block(m)
+    grid = (m // mb,)
+    kernel = functools.partial(_dp_kernel_reg, rmax=rmax)
+    c0, a0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rmax, 8, mb), lambda i: (0, 0, i)),
+            pl.BlockSpec((gwin_t.shape[0], 8, mb), lambda i: (0, 0, i)),
+            pl.BlockSpec((8, mb), lambda i: (0, i)),
+            pl.BlockSpec((8, mb), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, mb), lambda i: (0, i)),
+            pl.BlockSpec((8, mb), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, m), jnp.int32),
+            jax.ShapeDtypeStruct((8, m), jnp.int32),
+        ],
+        interpret=interpret,
+    )(read_r, gwin_r, rlen_r, glen_r)
+    return c0.reshape(n), a0.reshape(n)
+
+
 def _block_width(n: int) -> int:
     """Candidate-axis block width per grid program: the largest
     power-of-two divisor of n, capped at GAML_PALLAS_W (default 1024).
@@ -132,6 +260,12 @@ def dp_rows_pallas(read_t, gwin_t, rlen, glen, rmax: int,
     n = read_t.shape[1]
     assert n % LANES == 0
     assert rmax % 8 == 0, "row grouping needs 8 | rmax"
+    import os
+
+    if n % (8 * LANES) == 0 and width == 0 and \
+            os.environ.get("GAML_PALLAS_KERNEL", "reg") == "reg":
+        return dp_rows_pallas_reg(read_t, gwin_t, rlen, glen, rmax,
+                                  interpret=interpret)
     w = width or _block_width(n)
     grid = (n // w,)
     kernel = functools.partial(_dp_kernel, rmax=rmax, width=w)

@@ -109,6 +109,13 @@ class ProbCalculator:
             all_rs.append(r1)
             if r2 is not r1:
                 all_rs.append(r2)
+        dev_rs = [rs for rs in all_rs if rs.backend == "device"]
+        # construct every device extender up front, LARGEST read set
+        # first: (a) the shared rows-pad registry then buckets every set
+        # to one executable shape, (b) the resident-matrix uploads are
+        # async device_puts that overlap the first dispatch's XLA compile
+        for rs in sorted(dev_rs, key=lambda r: -r.get_number_of_reads()):
+            rs.aligner.ensure_device_extender()
         finishers = []
         for rs in all_rs:
             if rs.backend != "device":
