@@ -102,6 +102,13 @@ def main():
     print(f"best prob {opt.best_prob:.4f}; walks {len(best)} "
           f"(start {len(start_paths)})", flush=True)
     print("metrics:", opt.metrics.report(), flush=True)
+    cells = getattr(rs, "dp_cells", {})
+    total = sum(cells.values()) or 1
+    onchip = cells.get("pallas", 0) + cells.get("jnp", 0) + \
+        cells.get("mesh", 0)
+    print(f"forward-DP cells by backend: "
+          f"{ {k: int(v) for k, v in cells.items()} } "
+          f"(device share {100.0 * onchip / total:.1f}%)", flush=True)
 
 
 if __name__ == "__main__":

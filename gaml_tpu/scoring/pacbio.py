@@ -314,17 +314,40 @@ class PacbioReadSet:
         import jax
         import jax.numpy as jnp
 
+        if __import__("os").environ.get("GAML_PB_DEBUG") == "1":
+            print(f"[pb.forward] jobs={len(jobs)} rmax={rmax} "
+                  f"seq={len(seq)} cells={cells/1e6:.1f}M", flush=True)
         accel = jax.devices()[0].platform not in ("cpu",)
         use_pallas = accel and self.forward_width in (0, 64, 128)
         if use_pallas:
             from ..ops.forward_pallas import banded_forward_pallas
 
-            out = banded_forward_pallas(
-                seq, reads, rlens, centers, gstarts, glens,
-                float(np.log(self.match_prob)),
-                float(np.log(self.mismatch_prob)), rmax)
+            try:
+                out = banded_forward_pallas(
+                    seq, reads, rlens, centers, gstarts, glens,
+                    float(np.log(self.match_prob)),
+                    float(np.log(self.mismatch_prob)), rmax)
+                out = [float(x) for x in out]
+            except Exception as e:  # device error -> exact native fallback
+                from ..native import get_lib
+
+                if get_lib() is None:
+                    raise
+                import sys
+
+                print(f"[pb.forward] device batch failed "
+                      f"({type(e).__name__}); native fallback",
+                      file=sys.stderr, flush=True)
+                from ..native import banded_forward_host
+
+                out = [float(x) for x in banded_forward_host(
+                    seq, reads, rlens, centers, gstarts, glens,
+                    float(np.log(self.match_prob)),
+                    float(np.log(self.mismatch_prob)), width)]
+                prof["native"] = prof.get("native", 0) + cells
+                return out
             prof["pallas"] = prof.get("pallas", 0) + cells
-            return [float(x) for x in out]
+            return out
 
         from ..ops.forward import banded_forward
 

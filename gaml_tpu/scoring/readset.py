@@ -31,6 +31,23 @@ from ..align.aligner import (
 )
 
 _EMPTY_COLUMNS = AlignmentColumns.from_tuples([])
+
+# live device warm-up threads (see ReadSet._device_ready).  A daemon
+# thread killed mid-RPC inside the device client aborts the process at
+# teardown ("terminate called ..."), so exit joins them first.
+_WARM_THREADS: list = []
+
+
+def _join_warm_threads() -> None:
+    for th in _WARM_THREADS:
+        if th.is_alive():
+            th.join(timeout=120)
+    _WARM_THREADS.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_join_warm_threads)
 from ..core import dna
 from ..core.io import iter_fastq
 from ..core.paths import invert_path
@@ -554,6 +571,15 @@ class ReadSet:
                 if est < self._dev_min_bases:
                     self._precompute_native_batch(graph, subpaths, bundle)
                     return None
+                if not self._device_ready(graph, subpaths):
+                    # cold executable: serve this batch natively
+                    # (bit-identical) while a background thread runs the
+                    # SAME batch on the device — its ~45 s server-side XLA
+                    # compile happens off the critical path and later bulk
+                    # batches go straight to the warm executable.
+                    # GAML_DEV_EAGER=1 restores always-block-on-device.
+                    self._precompute_native_batch(graph, subpaths, bundle)
+                    return None
             fin_align = self.aligner.align_subpaths_batch(
                 graph, list(subpaths), defer=defer)
 
@@ -573,6 +599,45 @@ class ReadSet:
         for sp in subpaths:
             self.aligment_cache[sp] = self.aligner.align_subpath(graph, sp)
         return None
+
+    def _device_ready(self, graph, subpaths) -> bool:
+        """Cost-model gate for bulk device batches: True once the fused
+        executable is warm (or GAML_DEV_EAGER=1).  On the first cold bulk
+        batch, starts a daemon thread running the batch on the device —
+        an exact warm-up (same shapes as production traffic, result
+        discarded) — and reports False until it completes."""
+        import os
+
+        if os.environ.get("GAML_DEV_EAGER") == "1":
+            return True
+        th = getattr(self, "_dev_warm_thread", None)
+        if th is not None:
+            if th.is_alive():
+                return False
+            self._dev_warm_thread = None
+            self._dev_warm_done = True
+        if getattr(self, "_dev_warm_done", False):
+            return True
+        import threading
+
+        aligner = self.aligner
+        paths_copy = [tuple(sp) for sp in subpaths]
+
+        def warm():
+            try:
+                # defer=True: staging + dispatch (the synchronous XLA
+                # compile) happen; the result fetch is skipped — the
+                # executable is what we're after, not the outputs
+                aligner.align_subpaths_batch(graph, paths_copy, defer=True)
+            except Exception:
+                pass  # warm-up is best-effort; production stays native
+
+        th = threading.Thread(target=warm, daemon=True,
+                              name="gaml-dev-warmup")
+        self._dev_warm_thread = th
+        _WARM_THREADS.append(th)
+        th.start()
+        return False
 
     def _precompute_native_batch(self, graph, subpaths, bundle) -> None:
         """One native call, OpenMP-parallel across windows."""

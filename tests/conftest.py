@@ -15,3 +15,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# tests exercise the device bulk path deterministically: bypass the
+# cold-executable cost-model routing (readset._device_ready)
+os.environ.setdefault("GAML_DEV_EAGER", "1")

@@ -132,3 +132,54 @@ def test_stage_uniform_matches_stage_candidates(tmp_path):
                 "gwin_b", "glen_b", "g0", "r0", "read_len", "valid",
                 "at_start", "read_id"):
         assert np.array_equal(st_u[key], st_p[key]), key
+
+
+def test_cold_executable_cost_model_routing(tmp_path, monkeypatch):
+    """With a cold fused executable the bulk precompute serves results
+    natively (bit-identical) while a background thread warms the device
+    path; once warm, bulk batches route to the device."""
+    import time
+
+    from gaml_tpu.scoring.readset import ReadSet
+    from fixtures import make_linear_graph, sample_reads, write_fastq
+
+    rng = np.random.default_rng(5)
+    gr, seqs = make_linear_graph(rng, [700, 90, 650])
+    genome = "".join(seqs)
+    reads = sample_reads(rng, genome, 40, 30)
+    fq = tmp_path / "coldwarm.fq"
+    write_fastq(str(fq), reads)
+    rs = ReadSet(str(tmp_path / "coldwarm"), str(fq), 0.96, 0.01,
+                 backend="device")
+    rs.preprocess_reads()
+    rs.prepare_read_index()
+    monkeypatch.delenv("GAML_DEV_EAGER", raising=False)
+    monkeypatch.setattr(rs, "_dev_min_bases", 1)  # everything is "bulk"
+
+    calls = []
+    real = rs.aligner.align_subpaths_batch
+
+    def spy(graph, paths, defer=False):
+        calls.append(len(paths))
+        return real(graph, paths, defer=defer)
+
+    monkeypatch.setattr(rs.aligner, "align_subpaths_batch", spy)
+
+    paths = [[0, 2, 4]]
+    rs.precompute_alignment_for_paths(paths, gr)
+    # first bulk call went native; the warm-up thread got the batch
+    th = rs._dev_warm_thread
+    assert th is not None or rs._dev_warm_done
+    if th is not None:
+        th.join(60)
+    for _ in range(100):
+        if rs._device_ready(gr, [(0,)]):
+            break
+        time.sleep(0.05)
+    assert rs._dev_warm_done
+    n_before = len(calls)
+    rs.aligment_cache.clear()
+    rs._precompute_memo.clear()
+    rs._stage_memo = {}
+    rs.precompute_alignment_for_paths([[4, 2, 0]], gr)
+    assert len(calls) > n_before  # warm: bulk routed to the device path

@@ -43,3 +43,29 @@ def test_pallas_matches_jnp(seed):
     # d only meaningful where ok
     mask = ok_p[:n]
     np.testing.assert_array_equal(np.asarray(d_j)[:n][mask], d_p[:n][mask])
+
+
+def test_reg_kernel_matches_sublane_kernel():
+    """The band-in-registers kernel is bit-equal to the sublane-band
+    kernel (and hence to the BFS oracle) on a big random batch."""
+    import jax.numpy as jnp
+    from gaml_tpu.ops.extend import PAD
+    from gaml_tpu.ops.extend_pallas import dp_rows_pallas, dp_rows_pallas_reg
+
+    rng = np.random.default_rng(3)
+    n, rmax = 2048, 32
+    read_t = jnp.asarray(rng.integers(0, 5, (rmax, n)).astype(np.int32))
+    gwin = rng.integers(0, 5, (rmax + 2 * PAD, n)).astype(np.int32)
+    # half the candidates: perfect diagonal matches of varying length
+    half = np.asarray(read_t)[:, : n // 2]
+    gwin[PAD:PAD + rmax, : n // 2] = half
+    gwin_t = jnp.asarray(gwin)
+    rlen = jnp.asarray(rng.integers(0, rmax + 1, (1, n)).astype(np.int32))
+    glen = jnp.asarray(rng.integers(0, rmax + PAD, (1, n)).astype(np.int32))
+
+    c_reg, a_reg = dp_rows_pallas_reg(read_t, gwin_t, rlen, glen, rmax,
+                                      interpret=True)
+    c_sub, a_sub = dp_rows_pallas(read_t, gwin_t, rlen, glen, rmax,
+                                  interpret=True, width=128)
+    np.testing.assert_array_equal(np.asarray(c_reg), np.asarray(c_sub))
+    np.testing.assert_array_equal(np.asarray(a_reg), np.asarray(a_sub))
