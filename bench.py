@@ -155,19 +155,42 @@ def main():
         jax.profiler.stop_trace()
     reads_per_s = n_reads / t_pipe
 
-    # ---- baseline: serial native C++ aligner (reference architecture):
-    # same query + exact 0-1 BFS + dedup, one call = whole genome window
+    # ---- baseline: native C++ aligner (reference architecture): same
+    # query + exact 0-1 BFS + dedup.  vs_baseline compares against the
+    # OPENMP-PARALLEL native path on this box (all cores — the strongest
+    # host configuration, per VERDICT r2: one serial thread was too weak
+    # a bar); the serial number is kept as stderr detail.
+    from gaml_tpu.native import align_windows_batch
+
     t0 = time.time()
     if SMALL:
         pos_b, ed_b, rid_b, or_b = align_window(bundle, genome, 0)
         host_dt = time.time() - t0
     else:
-        # subsample: serial-align a slice of the genome, extrapolate
         frac = 8
         sub = genome[:genome_len // frac]
         pos_b, ed_b, rid_b, or_b = align_window(bundle, sub, 0)
         host_dt = (time.time() - t0) * frac
-    host_reads_per_s = n_reads / host_dt if host_dt > 0 else float("inf")
+    host_serial_rps = n_reads / host_dt if host_dt > 0 else float("inf")
+
+    # parallel: split the genome into per-core windows (overlapped by a
+    # read length so no alignment is lost at the cuts) and run the
+    # OpenMP batch path
+    t0 = time.time()
+    n_win = max(2, (os.cpu_count() or 2))
+    cut = genome_len // n_win
+    wins = [genome[max(0, i * cut - read_len):
+                   min(genome_len, (i + 1) * cut + read_len)]
+            for i in range(n_win)]
+    if SMALL:
+        align_windows_batch(bundle, wins, [0] * len(wins))
+        host_par_dt = time.time() - t0
+    else:
+        sub_wins = [w[: len(w) // 8] for w in wins]
+        align_windows_batch(bundle, sub_wins, [0] * len(sub_wins))
+        host_par_dt = (time.time() - t0) * 8
+    host_reads_per_s = n_reads / host_par_dt if host_par_dt > 0 \
+        else float("inf")
 
     vs_baseline = reads_per_s / host_reads_per_s
     result = {
@@ -183,7 +206,8 @@ def main():
           f"t_warm_median={t_warm * 1000:.0f}ms "
           f"t_pipelined={t_pipe * 1000:.0f}ms "
           f"warm_times_ms={[round(t * 1000) for t in times]} "
-          f"host_serial={host_reads_per_s:.0f} r/s "
+          f"host_serial={host_serial_rps:.0f} r/s "
+          f"host_parallel={host_reads_per_s:.0f} r/s "
           f"device={jax.devices()[0].platform}", file=sys.stderr)
 
 

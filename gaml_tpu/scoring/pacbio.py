@@ -320,7 +320,38 @@ class PacbioReadSet:
         accel = jax.devices()[0].platform not in ("cpu",)
         use_pallas = accel and self.forward_width in (0, 64, 128)
         if use_pallas:
+            from ..ops.forward_pallas import LANES as _PB_LANES
             from ..ops.forward_pallas import banded_forward_pallas
+
+            # cost-model routing, as for short reads: the (bp, rmax)
+            # executable compiles server-side for minutes at long-read
+            # rmax — a cold shape is served by the native kernel while a
+            # background thread warms it with this very batch
+            # (GAML_DEV_EAGER=1 bypasses)
+            from ..native import get_lib as _glib
+
+            bp = ((len(jobs) + _PB_LANES - 1) // _PB_LANES) * _PB_LANES
+            if __import__("os").environ.get("GAML_DEV_EAGER") != "1" and \
+                    _glib() is not None:
+                from ..utils.warmup import device_ready
+
+                def warm(seq=seq, reads=reads, rlens=rlens,
+                         centers=centers, gstarts=gstarts, glens=glens,
+                         rmax=rmax):
+                    banded_forward_pallas(
+                        seq, reads, rlens, centers, gstarts, glens,
+                        float(np.log(self.match_prob)),
+                        float(np.log(self.mismatch_prob)), rmax)
+
+                if not device_ready(("pb_forward", bp, rmax), warm):
+                    from ..native import banded_forward_host
+
+                    out = banded_forward_host(
+                        seq, reads, rlens, centers, gstarts, glens,
+                        float(np.log(self.match_prob)),
+                        float(np.log(self.mismatch_prob)), width)
+                    prof["native"] = prof.get("native", 0) + cells
+                    return [float(x) for x in out]
 
             try:
                 out = banded_forward_pallas(

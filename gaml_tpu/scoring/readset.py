@@ -31,23 +31,6 @@ from ..align.aligner import (
 )
 
 _EMPTY_COLUMNS = AlignmentColumns.from_tuples([])
-
-# live device warm-up threads (see ReadSet._device_ready).  A daemon
-# thread killed mid-RPC inside the device client aborts the process at
-# teardown ("terminate called ..."), so exit joins them first.
-_WARM_THREADS: list = []
-
-
-def _join_warm_threads() -> None:
-    for th in _WARM_THREADS:
-        if th.is_alive():
-            th.join(timeout=120)
-    _WARM_THREADS.clear()
-
-
-import atexit  # noqa: E402
-
-atexit.register(_join_warm_threads)
 from ..core import dna
 from ..core.io import iter_fastq
 from ..core.paths import invert_path
@@ -610,34 +593,20 @@ class ReadSet:
 
         if os.environ.get("GAML_DEV_EAGER") == "1":
             return True
-        th = getattr(self, "_dev_warm_thread", None)
-        if th is not None:
-            if th.is_alive():
-                return False
-            self._dev_warm_thread = None
-            self._dev_warm_done = True
-        if getattr(self, "_dev_warm_done", False):
-            return True
-        import threading
+        from ..utils.warmup import device_ready
 
         aligner = self.aligner
         paths_copy = [tuple(sp) for sp in subpaths]
 
         def warm():
-            try:
-                # defer=True: staging + dispatch (the synchronous XLA
-                # compile) happen; the result fetch is skipped — the
-                # executable is what we're after, not the outputs
-                aligner.align_subpaths_batch(graph, paths_copy, defer=True)
-            except Exception:
-                pass  # warm-up is best-effort; production stays native
+            # defer=True: staging + dispatch (the synchronous XLA
+            # compile) happen; the result fetch is skipped — the
+            # executable is what we're after, not the outputs
+            aligner.align_subpaths_batch(graph, paths_copy, defer=True)
 
-        th = threading.Thread(target=warm, daemon=True,
-                              name="gaml-dev-warmup")
-        self._dev_warm_thread = th
-        _WARM_THREADS.append(th)
-        th.start()
-        return False
+        ready = device_ready(("extend", id(self)), warm)
+        self._dev_warm_done = ready  # kept for tests/introspection
+        return ready
 
     def _precompute_native_batch(self, graph, subpaths, bundle) -> None:
         """One native call, OpenMP-parallel across windows."""

@@ -1,0 +1,54 @@
+"""Background device warm-up threads (shared by the short-read and
+PacBio cost-model routers).
+
+A COLD device executable must not block the anneal: the caller serves
+the batch natively (bit-identical) and hands the same batch to a daemon
+thread whose dispatch performs the synchronous XLA compile; once the
+thread finishes, the executable is warm and later batches route to the
+chip.  Threads are joined at interpreter exit — a daemon thread killed
+mid-RPC inside the device client aborts teardown."""
+from __future__ import annotations
+
+import atexit
+import threading
+from typing import Callable, Dict, Tuple
+
+_THREADS: list = []
+_STATE: Dict[Tuple, object] = {}  # key -> Thread (in flight) or True
+
+
+def _join_all() -> None:
+    for th in _THREADS:
+        if th.is_alive():
+            th.join(timeout=120)
+    _THREADS.clear()
+
+
+atexit.register(_join_all)
+
+
+def device_ready(key: Tuple, warm_fn: Callable[[], None]) -> bool:
+    """True once the executable behind ``key`` is warm.  On first call
+    (cold), starts a daemon thread running ``warm_fn`` (which should
+    dispatch the compile and skip result fetches) and returns False; while
+    the thread runs, keeps returning False."""
+    st = _STATE.get(key)
+    if st is True:
+        return True
+    if st is not None:
+        if st.is_alive():
+            return False
+        _STATE[key] = True
+        return True
+
+    def run():
+        try:
+            warm_fn()
+        except Exception:
+            pass  # warm-up is best-effort; production stays native
+
+    th = threading.Thread(target=run, daemon=True, name="gaml-dev-warmup")
+    _STATE[key] = th
+    _THREADS.append(th)
+    th.start()
+    return False
