@@ -150,9 +150,13 @@ def banded_forward_pallas_call(reads_t, steps_t, fetch_t, lo_t, hi_t, cw0_t,
 
 def banded_forward_pallas(genome, reads, rlens, centers, gstarts, glens,
                           log_match, log_mismatch, rmax: int,
-                          width: int = WIDTH, interpret: bool = False):
+                          width: int = WIDTH, interpret: bool = False,
+                          return_device: bool = False):
     """Drop-in for ops.forward.banded_forward (width fixed to 128): host
-    prestaging + Pallas kernel."""
+    prestaging + Pallas kernel.  ``return_device=True`` skips the blocking
+    fetch and returns the padded [Bp] device array (the caller slices to
+    the live batch after fetching) — callers chunking one logical batch
+    into several fixed-shape dispatches pipeline them this way."""
     genome = np.asarray(genome)
     reads = np.asarray(reads)
     rlens_np = np.asarray(rlens)
@@ -216,4 +220,6 @@ def banded_forward_pallas(genome, reads, rlens, centers, gstarts, glens,
         jnp.asarray(lo_t), jnp.asarray(hi_t), jnp.asarray(cw0_t),
         jnp.asarray(m0_t), jnp.asarray(rlens_t),
         float(log_match), float(log_mismatch), rmax_p, interpret=interpret)
+    if return_device:
+        return out
     return np.asarray(out)[:b]

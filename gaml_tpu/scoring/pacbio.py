@@ -317,48 +317,82 @@ class PacbioReadSet:
         if __import__("os").environ.get("GAML_PB_DEBUG") == "1":
             print(f"[pb.forward] jobs={len(jobs)} rmax={rmax} "
                   f"seq={len(seq)} cells={cells/1e6:.1f}M", flush=True)
-        accel = jax.devices()[0].platform not in ("cpu",)
+        accel = jax.devices()[0].platform not in ("cpu",) or \
+            __import__("os").environ.get("GAML_PB_FORCE_DEVICE") == "1"
         use_pallas = accel and self.forward_width in (0, 64, 128)
         if use_pallas:
             from ..ops.forward_pallas import LANES as _PB_LANES
             from ..ops.forward_pallas import banded_forward_pallas
 
-            # cost-model routing, as for short reads: the (bp, rmax)
-            # executable compiles server-side for minutes at long-read
-            # rmax — a cold shape is served by the native kernel while a
-            # background thread warms it with this very batch
-            # (GAML_DEV_EAGER=1 bypasses)
+            # ONE executable shape for the whole run: batches are chunked
+            # to a fixed (GAML_PB_CHUNK, rmax-class) dispatch shape — the
+            # tail chunk rounds up, the read axis pads to the read set's
+            # longest read — so every bulk/move batch reuses a single
+            # compiled kernel and the chunks pipeline (dispatch all,
+            # fetch once).
+            chunk = int(__import__("os").environ.get("GAML_PB_CHUNK", "256"))
+            chunk = max(_PB_LANES,
+                        ((chunk + _PB_LANES - 1) // _PB_LANES) * _PB_LANES)
+            rmax_cls = getattr(self, "_dev_rmax_class", 0)
+            if rmax > rmax_cls:
+                mx = max((len(r) for r in self.read_seq), default=rmax)
+                rmax_cls = ((max(mx, rmax) + 127) // 128) * 128
+                self._dev_rmax_class = rmax_cls
+            lm = float(np.log(self.match_prob))
+            lmm = float(np.log(self.mismatch_prob))
+
+            def chunk_arrays(s, e):
+                reads_c = np.full((chunk, rmax_cls), 6, dtype=np.uint8)
+                reads_c[:e - s, :rmax] = reads[s:e]
+                rlens_c = np.zeros(chunk, dtype=np.int32)
+                rlens_c[:e - s] = rlens[s:e]
+                centers_c = np.zeros((chunk, rmax_cls + 1), dtype=np.int32)
+                centers_c[:e - s, :rmax + 1] = centers[s:e]
+                centers_c[:e - s, rmax + 1:] = centers[s:e, -1:]
+                gst_c = np.zeros(chunk, dtype=np.int32)
+                gst_c[:e - s] = gstarts[s:e]
+                gl_c = np.zeros(chunk, dtype=np.int32)
+                gl_c[:e - s] = glens[s:e]
+                return reads_c, rlens_c, centers_c, gst_c, gl_c
+
+            # cost-model routing, as for short reads: the single
+            # (chunk, rmax-class) executable compiles server-side for
+            # minutes at long-read rmax — a cold shape is served by the
+            # native kernel while a background thread warms it with this
+            # very batch's first chunk (GAML_DEV_EAGER=1 bypasses)
             from ..native import get_lib as _glib
 
-            bp = ((len(jobs) + _PB_LANES - 1) // _PB_LANES) * _PB_LANES
             if __import__("os").environ.get("GAML_DEV_EAGER") != "1" and \
                     _glib() is not None:
                 from ..utils.warmup import device_ready
 
-                def warm(seq=seq, reads=reads, rlens=rlens,
-                         centers=centers, gstarts=gstarts, glens=glens,
-                         rmax=rmax):
-                    banded_forward_pallas(
-                        seq, reads, rlens, centers, gstarts, glens,
-                        float(np.log(self.match_prob)),
-                        float(np.log(self.mismatch_prob)), rmax)
+                def warm(args=chunk_arrays(0, min(chunk, b))):
+                    banded_forward_pallas(seq, args[0], args[1], args[2],
+                                          args[3], args[4], lm, lmm,
+                                          rmax_cls)
 
-                if not device_ready(("pb_forward", bp, rmax), warm):
+                if not device_ready(("pb_forward", chunk, rmax_cls), warm):
                     from ..native import banded_forward_host
 
                     out = banded_forward_host(
                         seq, reads, rlens, centers, gstarts, glens,
-                        float(np.log(self.match_prob)),
-                        float(np.log(self.mismatch_prob)), width)
+                        lm, lmm, width)
                     prof["native"] = prof.get("native", 0) + cells
                     return [float(x) for x in out]
 
             try:
-                out = banded_forward_pallas(
-                    seq, reads, rlens, centers, gstarts, glens,
-                    float(np.log(self.match_prob)),
-                    float(np.log(self.mismatch_prob)), rmax)
-                out = [float(x) for x in out]
+                handles = []
+                for s in range(0, b, chunk):
+                    e = min(s + chunk, b)
+                    reads_c, rlens_c, centers_c, gst_c, gl_c = \
+                        chunk_arrays(s, e)
+                    h = banded_forward_pallas(
+                        seq, reads_c, rlens_c, centers_c, gst_c, gl_c,
+                        lm, lmm, rmax_cls, return_device=True)
+                    handles.append((h, e - s))
+                out = []
+                for h, k in handles:
+                    out.extend(float(x) for x in np.asarray(h)[:k])
             except Exception as e:  # device error -> exact native fallback
                 from ..native import get_lib
 
@@ -373,8 +407,7 @@ class PacbioReadSet:
 
                 out = [float(x) for x in banded_forward_host(
                     seq, reads, rlens, centers, gstarts, glens,
-                    float(np.log(self.match_prob)),
-                    float(np.log(self.mismatch_prob)), width)]
+                    lm, lmm, width)]
                 prof["native"] = prof.get("native", 0) + cells
                 return out
             prof["pallas"] = prof.get("pallas", 0) + cells

@@ -52,3 +52,30 @@ def test_pallas_forward_matches_jnp(seed):
         float(np.log(MATCH)), float(np.log(MISMATCH)), rmax,
         interpret=True)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-3)
+
+
+def test_pallas_forward_padded_dummy_rows():
+    """Tail-chunk round-up appends dummy jobs (rlens=0, glens=0,
+    centers=0, reads=6): live-row outputs must be unaffected and finite."""
+    rng = np.random.default_rng(5)
+    genome, reads, rlens, centers = make_batch(rng)
+    b, rmax = reads.shape
+    gstarts = np.zeros(b, np.int32)
+    glens = np.full(b, len(genome), np.int32)
+    base = banded_forward_pallas(
+        genome, reads, rlens, centers, gstarts, glens,
+        float(np.log(MATCH)), float(np.log(MISMATCH)), rmax, interpret=True)
+
+    pad = 4
+    reads_p = np.concatenate(
+        [reads, np.full((pad, rmax), 6, np.uint8)], axis=0)
+    rlens_p = np.concatenate([rlens, np.zeros(pad, np.int32)])
+    centers_p = np.concatenate(
+        [centers, np.zeros((pad, rmax + 1), np.int32)], axis=0)
+    gstarts_p = np.concatenate([gstarts, np.zeros(pad, np.int32)])
+    glens_p = np.concatenate([glens, np.zeros(pad, np.int32)])
+    got = banded_forward_pallas(
+        genome, reads_p, rlens_p, centers_p, gstarts_p, glens_p,
+        float(np.log(MATCH)), float(np.log(MISMATCH)), rmax, interpret=True)
+    assert np.all(np.isfinite(got[:b]))
+    np.testing.assert_allclose(got[:b], base, rtol=1e-6)

@@ -112,3 +112,67 @@ def test_production_band_vs_exact_reference_band(tmp_path):
     se, ze, tle = calc_score_for_pacbio(gr, paths, rs_exact)
     assert tlp == tle
     assert sp == pytest.approx(se, rel=0.02), (sp, se)
+
+
+def test_forward_batch_chunked_device_route(tmp_path, monkeypatch):
+    """The device route chunks every forward batch to ONE fixed
+    (GAML_PB_CHUNK, rmax-class) dispatch shape (tail rounds up, read axis
+    pads to the read set's longest read) and reassembles chunk outputs in
+    job order — scores must match the native route and every dispatch must
+    carry the same shape (one compiled executable for the whole run)."""
+    import jax.numpy as jnp
+
+    import gaml_tpu.ops.forward_pallas as fp
+    from gaml_tpu.ops.forward import banded_forward
+
+    rng = np.random.default_rng(21)
+    gr, seqs = make_linear_graph(rng, [900, 120, 1200])
+    rs_nat, _ = make_pb_readset(tmp_path, gr, seqs, np.random.default_rng(9),
+                                n_reads=160, rlen=400, err=0.08, name="pbc_n")
+    rs_dev, _ = make_pb_readset(tmp_path, gr, seqs, np.random.default_rng(9),
+                                n_reads=160, rlen=400, err=0.08, name="pbc_d")
+    rs_nat.forward_width = 128  # native baseline on the pallas band width
+    rs_dev.forward_width = 128
+    walk = [0, 2, 4]
+    pos_nat, tl_nat = rs_nat.get_read_probabilities(gr, walk)
+
+    calls = []
+
+    def fake_pallas(genome, reads, rlens, centers, gstarts, glens,
+                    log_match, log_mismatch, rmax, width=128,
+                    interpret=False, return_device=False):
+        calls.append((reads.shape, int(rmax)))
+        out = np.asarray(banded_forward(
+            jnp.asarray(genome), jnp.asarray(np.asarray(reads)),
+            jnp.asarray(np.asarray(rlens, dtype=np.int32)),
+            jnp.asarray(centers), jnp.asarray(gstarts), jnp.asarray(glens),
+            float(log_match), float(log_mismatch), int(rmax), 128))
+        return out  # padded [chunk] array; caller slices live rows
+
+    monkeypatch.setattr(fp, "banded_forward_pallas", fake_pallas)
+    monkeypatch.setenv("GAML_PB_FORCE_DEVICE", "1")
+    monkeypatch.setenv("GAML_PB_DEVICE_MIN_CELLS", "0")
+    monkeypatch.setenv("GAML_DEV_EAGER", "1")
+    monkeypatch.setenv("GAML_PB_CHUNK", "1")  # rounds up to LANES=128
+
+    pos_dev, tl_dev = rs_dev.get_read_probabilities(gr, walk)
+    assert calls, "device route never dispatched"
+    shapes = {c[0] for c in calls}
+    rmaxes = {c[1] for c in calls}
+    assert len(shapes) == 1 and len(rmaxes) == 1, (shapes, rmaxes)
+    (shape,), (rmax_cls,) = shapes, rmaxes
+    assert shape == (128, rmax_cls)
+    assert rmax_cls % 128 == 0
+    max_rlen = max(len(r) for r in rs_dev.read_seq)
+    assert rmax_cls >= max_rlen
+    # multi-chunk: the anchored batch must have exceeded one chunk
+    assert len(calls) >= 2
+    assert rs_dev.dp_cells.get("pallas", 0) > 0
+    assert not rs_dev.dp_cells.get("native")
+
+    assert tl_dev == tl_nat
+    for p_n, p_d in zip(pos_nat, pos_dev):
+        assert len(p_n) == len(p_d)
+        for (sp_n, lp_n), (sp_d, lp_d) in zip(p_n, p_d):
+            assert sp_n == sp_d
+            assert lp_d == pytest.approx(lp_n, rel=1e-4, abs=1e-3)
