@@ -158,6 +158,14 @@ def main(argv=None) -> int:
         from .parallel.sharded import make_mesh
 
         pc.enable_sharded_pacbio(make_mesh())
+    elif args.backend == "device" and pacbio:
+        # single-chip device routing for the long-read forward DP: batches
+        # above the cost-model threshold go to the Pallas kernel (measured
+        # crossover ~3M cells through a tunneled chip); compile the one
+        # executable shape up front so the anneal never stalls on it
+        os.environ.setdefault("GAML_PB_DEVICE_MIN_CELLS", "3000000")
+        for _cfg, rs in pacbio:
+            rs.prewarm_device()
     if args.device_state and paired:
         # needs read lengths: after prepare_reads
         from .parallel.sharded import make_mesh

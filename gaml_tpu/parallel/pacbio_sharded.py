@@ -16,7 +16,7 @@ cost that grows with read-set size.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
@@ -213,63 +213,30 @@ def calc_score_for_pacbio_sharded(graph, paths, read_set, mesh,
     scoring.pacbio_score.calc_score_for_pacbio); device: the per-read
     log-sum-exp + floored mean.  Returns (score, zero_reads, total_len).
     """
-    from ..scoring.pacbio_score import calc_score_for_pacbio
+    from ..scoring.pacbio_score import sweep_walk
 
     if scorer is None:
         scorer = ShardedPacbioScorer(mesh)
 
-    # reuse the host path for position collection + events by monkeying
-    # the reduction would be fragile; instead replicate its tiny loop here
+    # host position collection + coverage sweep SHARED with the host
+    # reducer (scoring.pacbio_score.sweep_walk — single source of truth
+    # for the coverage semantics); only the per-read log-sum-exp +
+    # floored mean run on the mesh
     rows_rid: List[int] = []
     rows_lp: List[float] = []
     total_len = 0
     bad_bases = 0
-    import bisect
 
     read_set.precompute_ranges_for_paths(graph, paths)
     for path in paths:
-        path = graph.normalize_path(list(path))
-        events: List[Tuple[int, int]] = [(-1000, 1), (2000, -3000)]
-        pp = 0
-        for e in path:
-            if e >= 0:
-                cl = graph.node_len(e)
-                events.append((pp, 1))
-                events.append((pp + cl, -cl))
-                pp += cl
-            else:
-                pp += -e
-        positions2, tl = read_set.get_read_probabilities(graph, path)
-        min_probs = read_set.min_read_probs_array()
+        positions2, tl, bad = sweep_walk(graph, path, read_set,
+                                         exp_cov_move)
         for i in range(len(positions2)):
-            if not positions2[i]:
-                continue
-            floor_i = min_probs[i]
-            for (pstart, pend), lp in positions2[i]:
+            for _span, lp in positions2[i]:
                 rows_rid.append(i)
                 rows_lp.append(lp)
-                if lp < floor_i:
-                    continue
-                events.append((pstart, 1))
-                events.append((pend, pstart - pend))
         total_len += tl
-        events.sort()
-        inters: List[int] = []
-        for j, (pos, typ) in enumerate(events):
-            if typ == 1:
-                bisect.insort(inters, pos)
-            else:
-                k = bisect.bisect_left(inters, pos + typ)
-                if k < len(inters) and inters[k] == pos + typ:
-                    del inters[k]
-            good_start = tl - 250
-            if inters:
-                good_start = inters[0] + exp_cov_move
-            if j + 1 < len(events):
-                good_start = min(events[j + 1][0], good_start)
-            good_start = min(good_start, tl - 250)
-            if good_start > max(2500, pos):
-                bad_bases += int(good_start - max(2500, pos))
+        bad_bases += bad
 
     score, zero_reads = scorer.score(
         np.asarray(rows_rid, dtype=np.int32),
@@ -277,5 +244,4 @@ def calc_score_for_pacbio_sharded(graph, paths, read_set, mesh,
         read_set.get_number_of_reads(),
         np.asarray(read_set.read_lens, dtype=np.float64), total_len,
         min_prob_per_base, min_prob_start)
-    _ = calc_score_for_pacbio  # parity sibling (tests compare against it)
     return score - bad_bases * no_cov_penalty, zero_reads, total_len

@@ -248,6 +248,47 @@ class PacbioReadSet:
                         self.anchors_end.setdefault(nid, set()).add(rid)
 
     # ----------------------------------------------------- alignment (slow)
+    def prewarm_device(self) -> None:
+        """Compile the single (GAML_PB_CHUNK, rmax-class) forward
+        executable off the hot path by dispatching one full dummy chunk
+        eagerly, then mark the warm-up router's key ready.  One-time per
+        process (a co-located deployment amortizes it across runs); no-op
+        on CPU platforms or empty read sets."""
+        import os
+
+        if not self.read_seq:
+            return
+        import jax
+
+        if jax.devices()[0].platform in ("cpu",) and \
+                os.environ.get("GAML_PB_FORCE_DEVICE") != "1":
+            return
+        chunk = int(os.environ.get("GAML_PB_CHUNK", "256"))
+        chunk = max(128, ((chunk + 127) // 128) * 128)
+        r0 = max(self.read_seq, key=len)
+        centers = list(range(len(r0) + 1))
+        seq = np.tile(r0, 2)[:len(r0) + 256]
+        saved = {k: os.environ.get(k)
+                 for k in ("GAML_DEV_EAGER", "GAML_PB_DEVICE_MIN_CELLS")}
+        os.environ["GAML_DEV_EAGER"] = "1"
+        os.environ["GAML_PB_DEVICE_MIN_CELLS"] = "0"
+        try:
+            self._forward_batch(seq, [(r0, centers)] * chunk)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        prof = getattr(self, "dp_cells", None)
+        if prof and prof.get("pallas"):
+            from ..utils.warmup import mark_ready
+
+            mark_ready(("pb_forward", chunk,
+                        getattr(self, "_dev_rmax_class", 0)))
+        if prof is not None:
+            prof.clear()
+
     def _forward_batch(self, seq: np.ndarray, jobs, extents=None):
         """jobs: list of (read codes, centers).  Returns logprobs list.
         ``extents`` optionally gives each job's (gstart, glen) target span
@@ -296,6 +337,9 @@ class PacbioReadSet:
             prof["mesh"] = prof.get("mesh", 0) + cells
             return [float(x) for x in out]
 
+        if __import__("os").environ.get("GAML_PB_DEBUG") == "1":
+            print(f"[pb.forward] jobs={len(jobs)} rmax={rmax} "
+                  f"seq={len(seq)} cells={cells/1e6:.2f}M", flush=True)
         min_cells = int(__import__("os").environ.get(
             "GAML_PB_DEVICE_MIN_CELLS", 20_000_000))
         if cells < min_cells:
@@ -314,9 +358,6 @@ class PacbioReadSet:
         import jax
         import jax.numpy as jnp
 
-        if __import__("os").environ.get("GAML_PB_DEBUG") == "1":
-            print(f"[pb.forward] jobs={len(jobs)} rmax={rmax} "
-                  f"seq={len(seq)} cells={cells/1e6:.1f}M", flush=True)
         accel = jax.devices()[0].platform not in ("cpu",) or \
             __import__("os").environ.get("GAML_PB_FORCE_DEVICE") == "1"
         use_pallas = accel and self.forward_width in (0, 64, 128)
@@ -390,9 +431,10 @@ class PacbioReadSet:
                         seq, reads_c, rlens_c, centers_c, gst_c, gl_c,
                         lm, lmm, rmax_cls, return_device=True)
                     handles.append((h, e - s))
+                fetched = jax.device_get([h for h, _ in handles])
                 out = []
-                for h, k in handles:
-                    out.extend(float(x) for x in np.asarray(h)[:k])
+                for arr, (_h, k) in zip(fetched, handles):
+                    out.extend(float(x) for x in arr[:k])
             except Exception as e:  # device error -> exact native fallback
                 from ..native import get_lib
 

@@ -7,8 +7,6 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from ..core.logprob import logadd
-
 
 def add_positions_to_read_probs(positions2, read_probs: np.ndarray) -> None:
     """read_probs[i] (log) += sum of hit masses (reference
@@ -60,6 +58,58 @@ def get_total_prob_pacbio(read_probs: np.ndarray, total_len: int, read_set,
     return total / n - np.log(2 * total_len), zero_reads
 
 
+def sweep_walk(graph, path, read_set, exp_cov_move: float):
+    """Host position collection + interval multiset sweep for ONE walk
+    (reference graph.cc:3196-3250): returns (positions2, total_len,
+    bad_bases).  Shared by the host reducer below and the mesh scorer
+    (parallel.pacbio_sharded) so the coverage semantics cannot drift."""
+    path = graph.normalize_path(list(path))
+    events: List[Tuple[int, int]] = [(-1000, 1), (2000, -3000)]
+    pp = 0
+    for e in path:
+        if e >= 0:
+            cl = graph.node_len(e)
+            events.append((pp, 1))
+            events.append((pp + cl, -cl))
+            pp += cl
+        else:
+            pp += -e
+    positions2, tl = read_set.get_read_probabilities(graph, path)
+    min_probs = read_set.min_read_probs_array()
+    for i in range(len(positions2)):
+        if not positions2[i]:
+            continue
+        floor_i = min_probs[i]
+        for (pstart, pend), lp in positions2[i]:
+            if lp < floor_i:
+                continue
+            events.append((pstart, 1))
+            events.append((pend, pstart - pend))
+
+    # interval multiset sweep (graph.cc:3226-3250)
+    events.sort()
+    inters: List[int] = []
+    bad_bases = 0
+    import bisect
+
+    for j, (pos, typ) in enumerate(events):
+        if typ == 1:
+            bisect.insort(inters, pos)
+        else:
+            k = bisect.bisect_left(inters, pos + typ)
+            if k < len(inters) and inters[k] == pos + typ:
+                del inters[k]
+        good_start = tl - 250
+        if inters:
+            good_start = inters[0] + exp_cov_move
+        if j + 1 < len(events):
+            good_start = min(events[j + 1][0], good_start)
+        good_start = min(good_start, tl - 250)
+        if good_start > max(2500, pos):
+            bad_bases += int(good_start - max(2500, pos))
+    return positions2, tl, bad_bases
+
+
 def calc_score_for_pacbio(graph, paths: Sequence[Sequence[int]], read_set,
                           no_cov_penalty: float = 0.0,
                           exp_cov_move: float = 0.75,
@@ -75,53 +125,11 @@ def calc_score_for_pacbio(graph, paths: Sequence[Sequence[int]], read_set,
     # per-walk loop below then scores from cache
     read_set.precompute_ranges_for_paths(graph, paths)
     for path in paths:
-        path = graph.normalize_path(list(path))
-        ctgs = [path]
-        for ctg in ctgs:
-            events: List[Tuple[int, int]] = [(-1000, 1), (2000, -3000)]
-            pp = 0
-            for e in ctg:
-                if e >= 0:
-                    cl = graph.node_len(e)
-                    events.append((pp, 1))
-                    events.append((pp + cl, -cl))
-                    pp += cl
-                else:
-                    pp += -e
-            positions2, tl = read_set.get_read_probabilities(graph, ctg)
-            min_probs = read_set.min_read_probs_array()
-            for i in range(len(positions2)):
-                if not positions2[i]:
-                    continue
-                floor_i = min_probs[i]
-                for (pstart, pend), lp in positions2[i]:
-                    if lp < floor_i:
-                        continue
-                    events.append((pstart, 1))
-                    events.append((pend, pstart - pend))
-            add_positions_to_read_probs(positions2, read_probs)
-            total_len += tl
-
-            # interval multiset sweep (graph.cc:3226-3250)
-            events.sort()
-            inters: List[int] = []
-            import bisect
-
-            for j, (pos, typ) in enumerate(events):
-                if typ == 1:
-                    bisect.insort(inters, pos)
-                else:
-                    k = bisect.bisect_left(inters, pos + typ)
-                    if k < len(inters) and inters[k] == pos + typ:
-                        del inters[k]
-                good_start = tl - 250
-                if inters:
-                    good_start = inters[0] + exp_cov_move
-                if j + 1 < len(events):
-                    good_start = min(events[j + 1][0], good_start)
-                good_start = min(good_start, tl - 250)
-                if good_start > max(2500, pos):
-                    bad_bases += int(good_start - max(2500, pos))
+        positions2, tl, bad = sweep_walk(graph, path, read_set,
+                                         exp_cov_move)
+        add_positions_to_read_probs(positions2, read_probs)
+        total_len += tl
+        bad_bases += bad
 
     dump = os.environ.get("GAML_TPU_RP_DUMP", "")
     score, zero_reads = get_total_prob_pacbio(

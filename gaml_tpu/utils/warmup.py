@@ -27,6 +27,12 @@ def _join_all() -> None:
 atexit.register(_join_all)
 
 
+def mark_ready(key: Tuple) -> None:
+    """Record ``key``'s executable as warm without a thread — used by
+    explicit prewarm paths that compiled it synchronously."""
+    _STATE[key] = True
+
+
 def device_ready(key: Tuple, warm_fn: Callable[[], None]) -> bool:
     """True once the executable behind ``key`` is warm.  On first call
     (cold), starts a daemon thread running ``warm_fn`` (which should
