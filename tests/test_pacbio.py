@@ -176,3 +176,48 @@ def test_forward_batch_chunked_device_route(tmp_path, monkeypatch):
         for (sp_n, lp_n), (sp_d, lp_d) in zip(p_n, p_d):
             assert sp_n == sp_d
             assert lp_d == pytest.approx(lp_n, rel=1e-4, abs=1e-3)
+
+
+def test_prewarm_device_marks_router_ready(tmp_path, monkeypatch):
+    """prewarm_device dispatches exactly one full dummy chunk eagerly,
+    marks the warm-up router's (chunk, rmax-class) key ready, restores
+    the routing env vars, and clears the profiling counters; without the
+    device force flag it must no-op on CPU platforms."""
+    import gaml_tpu.ops.forward_pallas as fp
+    from gaml_tpu.utils import warmup
+
+    rng = np.random.default_rng(33)
+    gr, seqs = make_linear_graph(rng, [600, 80, 700])
+    rs, _ = make_pb_readset(tmp_path, gr, seqs, rng, n_reads=6, rlen=300,
+                            name="pbw")
+    calls = []
+
+    def fake_pallas(genome, reads, rlens, centers, gstarts, glens,
+                    log_match, log_mismatch, rmax, width=128,
+                    interpret=False, return_device=False):
+        calls.append((reads.shape, int(rmax)))
+        return np.zeros(reads.shape[0], dtype=np.float32)
+
+    monkeypatch.setattr(fp, "banded_forward_pallas", fake_pallas)
+    monkeypatch.setenv("GAML_PB_CHUNK", "1")  # rounds up to 128
+
+    # CPU platform, no force flag: no-op
+    monkeypatch.delenv("GAML_PB_FORCE_DEVICE", raising=False)
+    rs.prewarm_device()
+    assert not calls
+
+    monkeypatch.setenv("GAML_PB_FORCE_DEVICE", "1")
+    monkeypatch.setenv("GAML_PB_DEVICE_MIN_CELLS", "999999999")
+    eager_before = os_mod.environ.get("GAML_DEV_EAGER")
+    rs.prewarm_device()
+    assert len(calls) == 1
+    (shape, rmax_cls), = calls
+    assert shape[0] == 128 and rmax_cls % 128 == 0
+    assert warmup._STATE.get(("pb_forward", 128, rmax_cls)) is True
+    assert rs.dp_cells == {}
+    # the temporarily-forced routing env vars are restored
+    assert os_mod.environ.get("GAML_PB_DEVICE_MIN_CELLS") == "999999999"
+    assert os_mod.environ.get("GAML_DEV_EAGER") == eager_before
+
+
+import os as os_mod  # noqa: E402
