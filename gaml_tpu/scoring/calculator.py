@@ -143,7 +143,11 @@ class ProbCalculator:
         candidate is scored, the union equals exactly the window set the
         sequential plain-score path would have inserted, so cache
         evolution — and every score and trajectory — is bit-identical.
-        PacBio sets keep their own per-walk range caching (unbatched)."""
+        PacBio sets batch the same way: the union of all candidates'
+        walks goes through ONE precompute_ranges_for_paths forward-DP
+        batch (per-job kernel outputs are independent of batch
+        membership, so the cached logprobs — and the scores — are
+        identical to the sequential fills)."""
         for _cfg, rs in self.single_reads:
             collect = set()
             for cand in candidates:
@@ -161,6 +165,9 @@ class ProbCalculator:
                 if collect:
                     rs.precompute_alignment_for_subpaths(self.graph,
                                                          sorted(collect))
+        for _cfg, rs in self.pacbio_reads:
+            all_walks = [w for cand in candidates for w in cand]
+            rs.precompute_ranges_for_paths(self.graph, all_walks)
         return [self.score(cand) for cand in candidates]
 
     def enable_sharded_pacbio(self, mesh, dtype=None,

@@ -221,3 +221,38 @@ def test_prewarm_device_marks_router_ready(tmp_path, monkeypatch):
 
 
 import os as os_mod  # noqa: E402
+
+
+def test_score_batch_pacbio_union_prefill(tmp_path):
+    """score_batch fills the union of all candidates' missing PacBio
+    windows in ONE forward-DP batch; scores must equal the sequential
+    per-candidate path exactly (per-job kernel outputs are independent
+    of batch membership)."""
+    from gaml_tpu.scoring.calculator import ProbCalculator
+    from gaml_tpu.scoring.config import SingleReadConfig
+
+    rng = np.random.default_rng(17)
+    gr, seqs = make_linear_graph(rng, [700, 90, 800])
+    rs_seq, _ = make_pb_readset(tmp_path, gr, seqs, np.random.default_rng(4),
+                                n_reads=8, rlen=400, name="pbsb_a")
+    rs_bat, _ = make_pb_readset(tmp_path, gr, seqs, np.random.default_rng(4),
+                                n_reads=8, rlen=400, name="pbsb_b")
+    cfg = SingleReadConfig(penalty_constant=1e-4, step=100)
+    cands = [[[0, 2, 4]], [[0, 2], [4]], [[4, 2, 0]]]
+
+    pc_seq = ProbCalculator([], [], [(cfg, rs_seq)], gr)
+    want = [pc_seq.score(c) for c in cands]
+
+    calls = []
+    orig = rs_bat._forward_batch
+
+    def counting(seq, jobs, extents=None):
+        calls.append(len(jobs))
+        return orig(seq, jobs, extents)
+
+    rs_bat._forward_batch = counting
+    pc_bat = ProbCalculator([], [], [(cfg, rs_bat)], gr)
+    got = pc_bat.score_batch(cands)
+    assert got == want, (got, want)
+    # the union prefill serves every candidate: exactly one fill batch
+    assert len(calls) == 1, calls
