@@ -37,12 +37,18 @@ def device_ready(key: Tuple, warm_fn: Callable[[], None]) -> bool:
     """True once the executable behind ``key`` is warm.  On first call
     (cold), starts a daemon thread running ``warm_fn`` (which should
     dispatch the compile and skip result fetches) and returns False; while
-    the thread runs, keeps returning False."""
+    the thread runs, keeps returning False.  A warm-up that raises pins
+    the key to "failed" (logged once): the route stays native instead of
+    every later batch failing on the device and falling back."""
     st = _STATE.get(key)
     if st is True:
         return True
+    if st == "failed":
+        return False
     if st is not None:
         if st.is_alive():
+            return False
+        if _STATE.get(key) == "failed":  # run() flagged it as it exited
             return False
         _STATE[key] = True
         return True
@@ -50,8 +56,13 @@ def device_ready(key: Tuple, warm_fn: Callable[[], None]) -> bool:
     def run():
         try:
             warm_fn()
-        except Exception:
-            pass  # warm-up is best-effort; production stays native
+        except Exception as e:
+            import sys
+
+            _STATE[key] = "failed"
+            print(f"[warmup] {key}: {type(e).__name__}: {e} — "
+                  f"device route disabled, serving native",
+                  file=sys.stderr, flush=True)
 
     th = threading.Thread(target=run, daemon=True, name="gaml-dev-warmup")
     _STATE[key] = th

@@ -179,3 +179,21 @@ def test_cold_executable_cost_model_routing(tmp_path, monkeypatch):
     rs._stage_memo = {}
     rs.precompute_alignment_for_paths([[4, 2, 0]], gr)
     assert len(calls) > n_before  # warm: bulk routed to the device path
+
+
+def test_warmup_failure_pins_native():
+    """A warm-up thread that raises pins its key to "failed": the router
+    keeps answering False (native route) instead of handing later batches
+    to a device path that will fail per call."""
+    from gaml_tpu.utils import warmup
+
+    key = ("test_warmup_failure", 1)
+
+    def bad():
+        raise RuntimeError("boom")
+
+    assert warmup.device_ready(key, bad) is False
+    for th in list(warmup._THREADS):
+        th.join(5)
+    assert warmup.device_ready(key, bad) is False
+    assert warmup._STATE[key] == "failed"
