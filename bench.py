@@ -196,12 +196,23 @@ def main():
     host_reads_per_s = n_reads / host_par_dt if host_par_dt > 0 \
         else float("inf")
 
-    vs_baseline = reads_per_s / host_serial_rps
+    # Both host bars are machine-parsed: vs_baseline (the headline ratio)
+    # tracks the serial native stand-in — the faithful reference
+    # architecture (the reference builds single-threaded) — while
+    # vs_baseline_parallel reports the repo's own OpenMP host path, the
+    # strongest host configuration on this box.  Emitting both explicitly
+    # (rather than silently redefining one field across rounds) keeps
+    # r2/r3/r4 numbers comparable: r2's 1.81x and r3's 1.14-1.22x are
+    # vs_baseline_serial semantics.
+    vs_serial = reads_per_s / host_serial_rps
+    vs_parallel = reads_per_s / host_reads_per_s
     result = {
         "metric": "reads_scored_per_sec_per_chip",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
-        "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline": round(vs_serial, 2),
+        "vs_baseline_serial": round(vs_serial, 2),
+        "vs_baseline_parallel": round(vs_parallel, 2),
     }
     print(json.dumps(result))
     print(f"# detail: n_reads={n_reads} cands={n_cands} "

@@ -160,10 +160,10 @@ def main(argv=None) -> int:
         pc.enable_sharded_pacbio(make_mesh())
     elif args.backend == "device" and pacbio:
         # single-chip device routing for the long-read forward DP: batches
-        # above the cost-model threshold go to the Pallas kernel (measured
-        # crossover ~3M cells through a tunneled chip); compile the one
-        # executable shape up front so the anneal never stalls on it
-        os.environ.setdefault("GAML_PB_DEVICE_MIN_CELLS", "3000000")
+        # above the cost-model threshold go to the Pallas kernel (the
+        # measured ~3M-cell crossover is the library default in
+        # scoring/pacbio.py); compile the one executable shape up front so
+        # the anneal never stalls on it
         for _cfg, rs in pacbio:
             rs.prewarm_device()
     if args.device_state and paired:

@@ -145,9 +145,14 @@ class ProbCalculator:
         evolution — and every score and trajectory — is bit-identical.
         PacBio sets batch the same way: the union of all candidates'
         walks goes through ONE precompute_ranges_for_paths forward-DP
-        batch (per-job kernel outputs are independent of batch
+        batch.  Per-job kernel outputs are independent of batch
         membership, so the cached logprobs — and the scores — are
-        identical to the sequential fills)."""
+        bit-identical to sequential fills WHEN both route to the same
+        kernel; a union batch has more DP cells than each per-candidate
+        fill and can cross the device-routing threshold where the
+        sequential fills would stay on the f64 native kernel, in which
+        case values agree to the device route's ~1e-5 band (the same
+        caveat PARITY.md pins for the device route itself)."""
         for _cfg, rs in self.single_reads:
             collect = set()
             for cand in candidates:

@@ -340,8 +340,12 @@ class PacbioReadSet:
         if __import__("os").environ.get("GAML_PB_DEBUG") == "1":
             print(f"[pb.forward] jobs={len(jobs)} rmax={rmax} "
                   f"seq={len(seq)} cells={cells/1e6:.2f}M", flush=True)
+        # The measured device crossover (~3M cells through a tunneled
+        # chip, BENCHMARKS.md long-read table) is the library default, not
+        # a CLI-only setting: library callers get the device route at the
+        # same threshold the CLI wires.
         min_cells = int(__import__("os").environ.get(
-            "GAML_PB_DEVICE_MIN_CELLS", 20_000_000))
+            "GAML_PB_DEVICE_MIN_CELLS", 3_000_000))
         if cells < min_cells:
             from ..native import get_lib
 
@@ -360,6 +364,22 @@ class PacbioReadSet:
 
         accel = jax.devices()[0].platform not in ("cpu",) or \
             __import__("os").environ.get("GAML_PB_FORCE_DEVICE") == "1"
+        if not accel:
+            # no accelerator behind jax: the exact f64 native kernel beats
+            # the jnp CPU route at any batch size, so above-threshold
+            # batches stay native too; the jnp kernel serves only builds
+            # without the native library (it stays unit-tested directly)
+            from ..native import get_lib
+
+            if get_lib() is not None:
+                from ..native import banded_forward_host
+
+                out = banded_forward_host(
+                    seq, reads, rlens, centers, gstarts, glens,
+                    float(np.log(self.match_prob)),
+                    float(np.log(self.mismatch_prob)), width)
+                prof["native"] = prof.get("native", 0) + cells
+                return [float(x) for x in out]
         use_pallas = accel and self.forward_width in (0, 64, 128)
         if use_pallas:
             from ..ops.forward_pallas import LANES as _PB_LANES
@@ -407,7 +427,11 @@ class PacbioReadSet:
                     _glib() is not None:
                 from ..utils.warmup import device_ready
 
-                def warm(args=chunk_arrays(0, min(chunk, b))):
+                def warm():
+                    # staging arrays built lazily INSIDE the warm thread:
+                    # a default-argument build would copy several MB on
+                    # every routed call even once the executable is warm
+                    args = chunk_arrays(0, min(chunk, b))
                     banded_forward_pallas(seq, args[0], args[1], args[2],
                                           args[3], args[4], lm, lmm,
                                           rmax_cls)

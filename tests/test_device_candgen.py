@@ -181,19 +181,52 @@ def test_cold_executable_cost_model_routing(tmp_path, monkeypatch):
     assert len(calls) > n_before  # warm: bulk routed to the device path
 
 
-def test_warmup_failure_pins_native():
-    """A warm-up thread that raises pins its key to "failed": the router
-    keeps answering False (native route) instead of handing later batches
-    to a device path that will fail per call."""
+def test_warmup_transient_failure_retries_then_goes_device():
+    """A transient warm-up failure must NOT pin the route for the process
+    lifetime: the next batch's device_ready re-attempts with its own
+    warm_fn, and once an attempt succeeds the route goes device."""
     from gaml_tpu.utils import warmup
 
-    key = ("test_warmup_failure", 1)
+    key = ("test_warmup_retry", 1)
+    calls = []
 
     def bad():
-        raise RuntimeError("boom")
+        calls.append("bad")
+        raise RuntimeError("transient tunnel error")
+
+    def good():
+        calls.append("good")
 
     assert warmup.device_ready(key, bad) is False
     for th in list(warmup._THREADS):
         th.join(5)
+    # failed once -> a later batch retries with its warm_fn
+    assert warmup.device_ready(key, good) is False
+    for th in list(warmup._THREADS):
+        th.join(5)
+    assert warmup.device_ready(key, good) is True
+    assert calls == ["bad", "good"]
+
+
+def test_warmup_exhausted_retries_pin_native(monkeypatch):
+    """Once the bounded attempt budget is spent the key pins to failed:
+    the router keeps answering False (native route) without starting new
+    threads."""
+    from gaml_tpu.utils import warmup
+
+    monkeypatch.setenv("GAML_WARMUP_RETRIES", "1")  # 2 total attempts
+    key = ("test_warmup_pin", 1)
+    calls = []
+
+    def bad():
+        calls.append(1)
+        raise RuntimeError("boom")
+
+    for _ in range(2):
+        assert warmup.device_ready(key, bad) is False
+        for th in list(warmup._THREADS):
+            th.join(5)
     assert warmup.device_ready(key, bad) is False
-    assert warmup._STATE[key] == "failed"
+    assert warmup._STATE[key] == ("failed", 2)
+    assert warmup.device_ready(key, bad) is False  # pinned: no new attempt
+    assert len(calls) == 2
