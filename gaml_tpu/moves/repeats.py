@@ -10,35 +10,10 @@ def _strand_collapse(e: int) -> int:
     return (e // 2) * 2
 
 
-def fix_rep_for_node2(paths: List[Path], gr, threshold: int,
-                      disjoin_similar: bool, node: int, prob_calc) -> None:
-    """Hill-climb repeat resolution for one strand-collapsed node: try
-    tail swaps between occurrence pairs, double-occurrence loop
-    transplants, and palindromic segment reversals; recurse on improvement;
-    in postprocess mode score-ties are split apart
-    (reference FixRepForNode2, moves.cc:1129-1324)."""
-    poses = []
-    doubles = []
-    pals = []
-    for i, p in enumerate(paths):
-        lp = -1
-        cur_poses = []
-        for j, e in enumerate(p):
-            if e < 0:
-                continue
-            if _strand_collapse(e) == node:
-                poses.append((i, j))
-                if lp != -1 and p[j] == p[lp]:
-                    doubles.append((i, lp, j))
-                lp = j
-                for k in cur_poses:
-                    if p[j] != p[k]:
-                        pals.append((i, k, j))
-                cur_poses.append(j)
-    cur_score = prob_calc.score(paths)
-    disjoint = set()
-
-    # tail swaps between occurrences in different walks (moves.cc:1158-1204)
+def _tail_swap_candidates(paths, poses):
+    """Candidate walk-sets of the tail-swap phase, in scoring order
+    (reference moves.cc:1158-1204).  Yields (pi, pj, paths2)."""
+    out = []
     for i in range(len(poses)):
         for j in range(i):
             if poses[i][0] == poses[j][0]:
@@ -66,17 +41,14 @@ def fix_rep_for_node2(paths: List[Path], gr, threshold: int,
                 del paths2[hi]
             if len(paths2[lo]) <= 1:
                 del paths2[lo]
-            score = prob_calc.score(paths2)
-            if abs(score - cur_score) < 0.001 and disjoin_similar:
-                disjoint.add(pi)
-                disjoint.add(pj)
-            if score > cur_score:
-                paths[:] = paths2
-                fix_rep_for_node2(paths, gr, threshold, disjoin_similar,
-                                  node, prob_calc)
-                return
+            out.append((pi, pj, paths2))
+    return out
 
-    # double-occurrence loop transplants (moves.cc:1205-1281)
+
+def _transplant_candidates(paths, poses, doubles):
+    """Candidate walk-sets of the double-occurrence loop-transplant phase
+    (reference moves.cc:1205-1281).  Yields (pi, double, paths2)."""
+    out = []
     for i in range(len(poses)):
         for dj in range(len(doubles)):
             paths2 = [list(p) for p in paths]
@@ -110,23 +82,95 @@ def fix_rep_for_node2(paths: List[Path], gr, threshold: int,
                     continue
             if len(paths2[d_path]) <= 1:
                 del paths2[d_path]
-            score = prob_calc.score(paths2)
-            if abs(score - cur_score) < 0.002 and disjoin_similar:
-                disjoint.add(pi)
-                disjoint.add((d_path, d_a))
-                disjoint.add((d_path, d_b))
-            if score > cur_score:
-                paths[:] = paths2
-                fix_rep_for_node2(paths, gr, threshold, disjoin_similar,
-                                  node, prob_calc)
-                return
+            out.append((pi, doubles[dj], paths2))
+    return out
 
-    # palindromic segment reversals (moves.cc:1282-1305)
+
+def _reversal_candidates(paths, pals):
+    """Candidate walk-sets of the palindromic-reversal phase (reference
+    moves.cc:1282-1305).  Yields ((pi, a, b), paths2)."""
+    out = []
     for (pi, a, b) in pals:
         paths2 = [list(p) for p in paths]
         seg = paths2[pi][a:b + 1]
         reverse_path(seg)
         paths2[pi][a:b + 1] = seg
+        out.append(((pi, a, b), paths2))
+    return out
+
+
+def fix_rep_for_node2(paths: List[Path], gr, threshold: int,
+                      disjoin_similar: bool, node: int, prob_calc) -> None:
+    """Hill-climb repeat resolution for one strand-collapsed node: try
+    tail swaps between occurrence pairs, double-occurrence loop
+    transplants, and palindromic segment reversals; recurse on improvement;
+    in postprocess mode score-ties are split apart
+    (reference FixRepForNode2, moves.cc:1129-1324).
+
+    Every round's candidate set is known before any scoring, so the
+    round's missing alignment windows are union-prefilled in ONE batched
+    aligner dispatch (ProbCalculator.prefetch_candidates) and the
+    sequential early-exit scoring then runs entirely from cache — the
+    trajectory is bit-identical to unprefetched sequential scoring
+    (window alignments are pure functions of window content), with one
+    device round trip per round instead of per candidate."""
+    poses = []
+    doubles = []
+    pals = []
+    for i, p in enumerate(paths):
+        lp = -1
+        cur_poses = []
+        for j, e in enumerate(p):
+            if e < 0:
+                continue
+            if _strand_collapse(e) == node:
+                poses.append((i, j))
+                if lp != -1 and p[j] == p[lp]:
+                    doubles.append((i, lp, j))
+                lp = j
+                for k in cur_poses:
+                    if p[j] != p[k]:
+                        pals.append((i, k, j))
+                cur_poses.append(j)
+    cur_score = prob_calc.score(paths)
+    disjoint = set()
+
+    cand_tail = _tail_swap_candidates(paths, poses)
+    cand_dbl = _transplant_candidates(paths, poses, doubles)
+    cand_pal = _reversal_candidates(paths, pals)
+    prefetch = getattr(prob_calc, "prefetch_candidates", None)
+    if prefetch is not None:
+        prefetch([c[-1] for c in cand_tail]
+                 + [c[-1] for c in cand_dbl]
+                 + [c[-1] for c in cand_pal])
+
+    # tail swaps between occurrences in different walks (moves.cc:1158-1204)
+    for pi, pj, paths2 in cand_tail:
+        score = prob_calc.score(paths2)
+        if abs(score - cur_score) < 0.001 and disjoin_similar:
+            disjoint.add(pi)
+            disjoint.add(pj)
+        if score > cur_score:
+            paths[:] = paths2
+            fix_rep_for_node2(paths, gr, threshold, disjoin_similar,
+                              node, prob_calc)
+            return
+
+    # double-occurrence loop transplants (moves.cc:1205-1281)
+    for pi, (d_path, d_a, d_b), paths2 in cand_dbl:
+        score = prob_calc.score(paths2)
+        if abs(score - cur_score) < 0.002 and disjoin_similar:
+            disjoint.add(pi)
+            disjoint.add((d_path, d_a))
+            disjoint.add((d_path, d_b))
+        if score > cur_score:
+            paths[:] = paths2
+            fix_rep_for_node2(paths, gr, threshold, disjoin_similar,
+                              node, prob_calc)
+            return
+
+    # palindromic segment reversals (moves.cc:1282-1305)
+    for (pi, a, b), paths2 in cand_pal:
         score = prob_calc.score(paths2)
         if abs(score - cur_score) < 0.002 and disjoin_similar:
             disjoint.add((pi, a))

@@ -93,15 +93,29 @@ def _pack_words_np(bytes2d: np.ndarray) -> np.ndarray:
 _FUSED_FNS = {}
 
 
-def _get_fused(L: int, rmax: int, n_pad: int, s_pad: int, use_pallas: bool):
+def _get_fused(L: int, rmax: int, n_pad: int, s_pad: int, use_pallas: bool,
+               sorted_mode: bool = False):
     """The shared jitted fused stage+DP body for one shape bucket.
 
     Signature: fused(fwd_words [R, W] i32, rc_words [R, W] i32,
                      seq_buf [s_pad] u8, base/glen_c/g0/r0/rows/orient
                      [n_pad] i32) -> (ok, errs, begin, packed), all
     [n_pad].  R and W are traced from the argument shapes, so one
-    executable serves every read set with matching (L, rmax) buckets."""
-    key = (L, rmax, n_pad, s_pad, bool(use_pallas))
+    executable serves every read set with matching (L, rmax) buckets.
+
+    With ``sorted_mode`` the caller lays candidates out sorted by r0
+    (block_layout) and passes two extra per-block row-bound arrays
+    (nrows_f, nrows_b); the DP then runs as the SWAR cost kernel
+    (forward — cost-only is all that direction feeds) plus the dynamic-
+    rows register kernel (backward — cost + accept offset), each looping
+    only to its block's max live row.  Outputs are in the caller's
+    (permuted) candidate order; bit-equal per candidate to the static
+    path for every consumed value (ok everywhere; errs/begin wherever
+    ok — non-ok errs saturate at 7 per direction, and no consumer reads
+    them: ops/score.py zeroes non-ok payloads, the aligner postprocess
+    filters by ok first)."""
+    key = (L, rmax, n_pad, s_pad, bool(use_pallas), bool(sorted_mode),
+           os.environ.get("GAML_PALLAS_INTERPRET") == "1")
     fn = _FUSED_FNS.get(key)
     if fn is not None:
         return fn
@@ -149,8 +163,10 @@ def _get_fused(L: int, rmax: int, n_pad: int, s_pad: int, use_pallas: bool):
     wpad_r = rmax // BPW + 1
     wpad_g = wlen // BPW + 1
 
+    interp = os.environ.get("GAML_PALLAS_INTERPRET") == "1"
+
     def fused(fwd_words, rc_words, seq_buf, base, glen_c, g0, r0, rows,
-              orient):
+              orient, nrows_f=None, nrows_b=None):
         # r0/orient may arrive as uint8 (compact transfer; r0 < L <= 255
         # buckets) — widen before any arithmetic to avoid u8 overflow
         r0 = r0.astype(jnp.int32)
@@ -205,7 +221,22 @@ def _get_fused(L: int, rmax: int, n_pad: int, s_pad: int, use_pallas: bool):
                           wlen)[:, ::-1],
             SENT_GEN)
 
-        if use_pallas:
+        if use_pallas and sorted_mode:
+            from .extend_pallas import (dp_rows_pallas_reg_dyn,
+                                        swar_cost_pallas)
+
+            # sorted-dynamic production path: forward cost via the SWAR
+            # kernel, backward cost+accept-offset via the dynamic-rows
+            # register kernel; each block loops only to its max live row
+            cf = swar_cost_pallas(read_f.T, gwin_f.T, rlen_f, glen_f,
+                                  rmax, nrows_f, interpret=interp)
+            cb, ab = dp_rows_pallas_reg_dyn(read_b.T, gwin_b.T, rlen_b,
+                                            glen_b, rmax, nrows_b,
+                                            interpret=interp)
+            ok = (cf <= ERROR_LIMIT) & (cb <= ERROR_LIMIT)
+            errs = cf + cb
+            d_back = ab
+        elif use_pallas:
             from .extend_pallas import dp_rows_pallas
 
             # both directions in ONE kernel launch: stack along lanes
@@ -349,36 +380,107 @@ class DeviceExtender:
         glen_all = seq_lens[seq_idx]
         r0_fill = max(self.L - K, 0)
 
+        # sorted-dynamic mode: candidates globally sorted by r0 (ascending
+        # seed position) so every kernel block sees a tight live-row range
+        # in BOTH directions (fwd rows = L-K-r0 descend, bwd rows = r0
+        # ascend); per-chunk block_layout + per-block row bounds drive the
+        # SWAR/dynamic-rows kernels (~8x the static kernel pair on the
+        # chip, bit-equal consumed outputs).  GAML_DEV_SORTED=0 restores
+        # the static stacked kernel.
+        from .extend_pallas import BLOCK_CANDS, block_layout
+
+        # every chunk of a run shares one n_pad (tail rounds up), so the
+        # sorted decision is global: on only when that shape fits the
+        # block-laid kernels (>= 8*512 candidates)
+        n_pad_all = chunk if tail_to_chunk else _bucket_pow2(n, 512)
+        sort_ok = use_pallas and n_pad_all % BLOCK_CANDS == 0 and \
+            os.environ.get("GAML_DEV_SORTED", "1") == "1"
+        if sort_ok:
+            order = np.argsort(np.asarray(r0), kind="stable").astype(
+                np.int64)
+            g0_a = np.asarray(g0)[order]
+            r0_a = np.asarray(r0)[order]
+            rows_a = np.asarray(rows)[order]
+            orient_a = np.asarray(orient)[order]
+            base_a = base_all[order]
+            glen_a = glen_all[order]
+        else:
+            order = None
+            g0_a, r0_a, rows_a, orient_a = g0, r0, rows, orient
+            base_a, glen_a = base_all, glen_all
+
         debug = os.environ.get("GAML_DEV_DEBUG") == "1"
         t_disp = 0.0
         if debug:
             import time as _time
 
             _t0 = _time.perf_counter()
-        outs = []
+        outs = []  # (nc, results, src_lay or None)
         for c0 in range(0, n, chunk):
             c1 = min(c0 + chunk, n)
             nc = c1 - c0
-            n_pad = chunk if tail_to_chunk else _bucket_pow2(nc, 512)
+            n_pad = n_pad_all
+
+            # r0/orient transfer as uint8 when they fit (the kernel widens
+            # on device) — 25% less per-candidate metadata on the wire
+            r0_dt = np.uint8 if max(self.L, r0_fill) <= 255 else np.int32
+
+            if sort_ok:
+                # src_lay[slot] = sorted-global candidate position, -1 pad
+                lay = block_layout(n_pad)
+                src = np.full(n_pad, -1, dtype=np.int64)
+                src[:nc] = np.arange(c0, c1)
+                src_lay = src[lay]
+                live = src_lay >= 0
+
+                def padL(a, fill=0, dtype=np.int32):
+                    out = np.full(n_pad, fill, dtype=dtype)
+                    out[live] = a[src_lay[live]].astype(dtype)
+                    return out
+
+                # per-block row bounds from the SORTED order (each block
+                # holds a contiguous sorted run by construction); pads
+                # contribute 0 rows in both directions (r0 = L-K, g0 = 0)
+                r0_srt = np.full(n_pad, r0_fill, dtype=np.int64)
+                r0_srt[:nc] = r0_a[c0:c1]
+                g0_srt = np.zeros(n_pad, dtype=np.int64)
+                g0_srt[:nc] = g0_a[c0:c1]
+                rf = np.maximum(self.L - K - r0_srt, 0)
+                rb = np.where(g0_srt > 0, r0_srt, 0)
+                nb_blocks = n_pad // BLOCK_CANDS
+                nrows_f = rf.reshape(nb_blocks, BLOCK_CANDS).max(1)\
+                    .astype(np.int32)
+                nrows_b = rb.reshape(nb_blocks, BLOCK_CANDS).max(1)\
+                    .astype(np.int32)
+                # pad slots: g0 = 0 + r0 = L-K -> rlen_f = rlen_b = 0
+                fn = _get_fused(self.L, self.rmax, n_pad, s_pad,
+                                use_pallas, sorted_mode=True)
+                outs.append((nc, fn(
+                    self.fwd_words, self.rc_words, buf_dev,
+                    jnp.asarray(padL(base_a)), jnp.asarray(padL(glen_a)),
+                    jnp.asarray(padL(g0_a, 0)),
+                    jnp.asarray(padL(r0_a, r0_fill, r0_dt)),
+                    jnp.asarray(padL(rows_a)),
+                    jnp.asarray(padL(orient_a, 0, np.uint8)),
+                    jnp.asarray(nrows_f), jnp.asarray(nrows_b)),
+                    src_lay))
+                continue
 
             def pad32(a, fill=0, dtype=np.int32):
                 out = np.full(n_pad, fill, dtype=dtype)
                 out[:nc] = a[c0:c1]
                 return out
 
-            # r0/orient transfer as uint8 when they fit (the kernel widens
-            # on device) — 25% less per-candidate metadata on the wire
-            r0_dt = np.uint8 if max(self.L, r0_fill) <= 255 else np.int32
             # pad rows stage as zero-length reads against empty genome:
             # rlen_f = L - r0 - K with r0 = L - K makes them cost-0 no-ops
             fn = _get_fused(self.L, self.rmax, n_pad, s_pad, use_pallas)
             outs.append((nc, fn(
                 self.fwd_words, self.rc_words, buf_dev,
-                jnp.asarray(pad32(base_all)), jnp.asarray(pad32(glen_all)),
-                jnp.asarray(pad32(g0, 1)),
-                jnp.asarray(pad32(r0, r0_fill, r0_dt)),
-                jnp.asarray(pad32(rows)),
-                jnp.asarray(pad32(orient, 0, np.uint8)))))
+                jnp.asarray(pad32(base_a)), jnp.asarray(pad32(glen_a)),
+                jnp.asarray(pad32(g0_a, 1)),
+                jnp.asarray(pad32(r0_a, r0_fill, r0_dt)),
+                jnp.asarray(pad32(rows_a)),
+                jnp.asarray(pad32(orient_a, 0, np.uint8))), None))
         if debug:
             t_disp = _time.perf_counter() - _t0
 
@@ -388,15 +490,43 @@ class DeviceExtender:
 
                 _t1 = _time.perf_counter()
             if return_device:
-                if len(outs) == 1:
-                    ok, errs, begin, _packed = outs[0][1]
+                if order is None:
+                    if len(outs) == 1:
+                        ok, errs, begin, _packed = outs[0][1]
+                        return ok, errs, begin
+                    ok = jnp.concatenate([o[1][0][:o[0]] for o in outs])
+                    errs = jnp.concatenate([o[1][1][:o[0]] for o in outs])
+                    begin = jnp.concatenate(
+                        [o[1][2][:o[0]] for o in outs])
                     return ok, errs, begin
-                ok = jnp.concatenate([o[1][0][:o[0]] for o in outs])
-                errs = jnp.concatenate([o[1][1][:o[0]] for o in outs])
-                begin = jnp.concatenate([o[1][2][:o[0]] for o in outs])
-                return ok, errs, begin
-            packed = np.concatenate(
-                [np.asarray(o[1][3])[:o[0]] for o in outs])
+                # sorted mode: map original candidate i -> its slot in
+                # the concatenated padded outputs (one device gather per
+                # result array restores the caller's candidate order)
+                ok = jnp.concatenate([o[1][0] for o in outs]) \
+                    if len(outs) > 1 else outs[0][1][0]
+                errs = jnp.concatenate([o[1][1] for o in outs]) \
+                    if len(outs) > 1 else outs[0][1][1]
+                begin = jnp.concatenate([o[1][2] for o in outs]) \
+                    if len(outs) > 1 else outs[0][1][2]
+                gpos = np.empty(n, dtype=np.int32)
+                at = 0
+                for _nc_o, _res, src_lay in outs:
+                    live = src_lay >= 0
+                    gpos[order[src_lay[live]]] = \
+                        (at + np.nonzero(live)[0]).astype(np.int32)
+                    at += len(src_lay)
+                gj = jnp.asarray(gpos)
+                return (jnp.take(ok, gj), jnp.take(errs, gj),
+                        jnp.take(begin, gj))
+            if order is None:
+                packed = np.concatenate(
+                    [np.asarray(o[1][3])[:o[0]] for o in outs])
+            else:
+                packed = np.empty(n, dtype=np.int32)
+                for nc_o, res, src_lay in outs:
+                    pk = np.asarray(res[3])
+                    live = src_lay >= 0
+                    packed[order[src_lay[live]]] = pk[live]
             if debug:
                 print(f"[dev.run] n={n} chunks={len(outs)} s_pad={s_pad} "
                       f"dispatch={t_disp:.2f}s fetch="

@@ -20,11 +20,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .extend import BAND, ERROR_LIMIT, INF, INVALID_A, PAD
 
 LANES = 128
 BAND8 = 8  # band padded to one sublane tile; row 7 (d=+4) is masked off
+
+# candidates per grid program in the sorted-dynamic kernels (8 sublanes x
+# 512 lanes); batches smaller than one block fall back to the static path
+BLOCK_CANDS = 8 * 512
+
+# SWAR constants: the whole 7-slot band lives in 4-bit fields of one
+# int32 (spare MSB per field keeps compares carry-free); costs saturate
+# at 7 — exact wherever the true cost is <= 6, far above the downstream
+# ok <= ERROR_LIMIT = 3 consumption (see swar_cost_pallas docstring)
+L7 = 0x1111111          # 7 fields of 1
+H7 = 0x8888888          # 7 field MSBs
+INF7 = 0x7777777        # 7 fields of 7 (saturated INF)
+M28 = 0x0FFFFFFF
+DCONST = 0x6543210      # field d holds value d
 
 
 def _dp_kernel(read_ref, gwin_ref, rlen_ref, glen_ref, c_ref, a_ref,
@@ -289,6 +304,286 @@ def dp_rows_pallas(read_t, gwin_t, rlen, glen, rmax: int,
         interpret=interpret,
     )(read_t, gwin_t, rlen, glen)
     return c0[0], a0[0]
+
+
+# --------------------------------------------------------------------------
+# Sorted-dynamic production path: candidates sorted by seed position r0 so
+# each grid block holds a contiguous run of the sort, and every block's row
+# loop runs only to the block's max live row (rows >= rlen are identity
+# accept rows — skipping them is bit-exact).  r0 is ~uniform over the read
+# (it is a max-hash argmax), so the mean live row count is ~rmax/2 per
+# direction; with the block bound tight the DP processes ~0.62x the cells.
+# The cost-only forward direction additionally runs as a SWAR kernel (the
+# whole 7-slot band in one int32, ~2x the cells/s of the register kernel).
+# Reference kernel being accelerated: ProcessHit, graph.cc:753-837.
+# --------------------------------------------------------------------------
+
+
+def block_layout(n: int) -> np.ndarray:
+    """Slot permutation placing a SORTED candidate order into the (8, m)
+    tile layout so that each grid program's 8x512 block holds a
+    contiguous run of the sort (tight per-block row bounds).
+
+    Returns lay [n] with lay[slot] = sorted-position; slot j maps to
+    sublane j // m, lane j % m of the reshaped arrays, and grid block b
+    covers lanes [b*512, (b+1)*512) of every sublane — which under this
+    layout is exactly sorted positions [b*4096, (b+1)*4096)."""
+    assert n % BLOCK_CANDS == 0
+    mb = BLOCK_CANDS // 8
+    return (np.arange(n).reshape(n // BLOCK_CANDS, 8, mb)
+            .transpose(1, 0, 2).reshape(n))
+
+
+def block_bounds(vals_sorted: np.ndarray) -> np.ndarray:
+    """Per-block max of a SORTED per-candidate value array (the dynamic
+    row bound of each 8x512 block)."""
+    n = len(vals_sorted)
+    return (vals_sorted.reshape(n // BLOCK_CANDS, BLOCK_CANDS)
+            .max(axis=1).astype(np.int32))
+
+
+def pack_bandchars(gwin_t, rmax: int):
+    """bandchars[r, c] = sum_d remap(gwin[r+1+d, c]) << 4d (d = 0..6):
+    the 7 band characters of row r packed into one int32.  Sentinel code
+    8 remaps to 6 so every code fits a 4-bit field (6 never equals a
+    remapped read code: read sentinel 6 remaps to 4)."""
+    g = jnp.where(gwin_t >= 6, gwin_t - 2, gwin_t).astype(jnp.int32)
+    out = jnp.zeros((rmax,) + gwin_t.shape[1:], jnp.int32)
+    for d in range(7):
+        out = out | (jax.lax.dynamic_slice_in_dim(g, 1 + d, rmax, 0)
+                     << (4 * d))
+    return out
+
+
+def _swar_min(a, b):
+    """Per-4bit-field min; fields must be <= 7 (spare MSB)."""
+    d = (a | H7) - b
+    ge = d & H7                       # MSB set iff a >= b
+    full = (ge >> 3) * 15             # 0xF where a >= b
+    return (b & full) | (a & ~full)
+
+
+def _sat_add1(w):
+    """+1 per field, saturating at 7 (fields <= 7 on input)."""
+    s = w + L7
+    ov = s & H7
+    return s - (ov >> 3)
+
+
+def _swar_row_step(r, bc, rc, rlen, glen, c):
+    """One DP row over 7 band slots packed in int32 fields — the SWAR
+    form of the register kernel's cost recurrence (match/sub/genome-skip/
+    read-skip with the boundary rules of ops.extend), saturating at 7."""
+    x = bc ^ rc
+    eq = H7 & ~((x | H7) - L7)
+    fm = (eq >> 3) * 15               # 0xF per matching field
+    t = jnp.clip(glen - r + 2, 0, 7)
+    ge = H7 & ((DCONST | H7) - t * L7)
+    fgpi = ((H7 ^ ge) >> 3) * 15      # g_plus_in per field
+    lr_full = jnp.where(rlen == r + 1, -1, 0)
+    acc_full = jnp.where(r >= rlen, -1, 0)
+
+    dcond = fm & (fgpi | lr_full)
+    diag = (c & dcond) | (INF7 & ~dcond)
+    add1 = _sat_add1(c)
+    scond = fgpi & ~fm
+    sub = (add1 & scond) | (INF7 & ~scond)
+    c_dm1 = ((c << 4) | 0x7) & M28
+    rk = _sat_add1(c_dm1)
+    rskip = (rk & ~fm & M28) | (INF7 & fm)
+    c_row = _swar_min(_swar_min(diag, sub), rskip)
+    for _ in range(3):
+        up = (c_row >> 4) | (0x7 << 24)
+        m = _swar_min(c_row, _sat_add1(up))
+        c_row = (m & scond) | (c_row & ~scond)
+    return c_row & ~acc_full
+
+
+def _swar_kernel_dyn(nrows_ref, bc_ref, rc_ref, rlen_ref, glen_ref, c_ref,
+                     *, unroll: int):
+    W = LANES
+    R = nrows_ref[pl.program_id(0)]
+    rlens = [rlen_ref[:, u * W:(u + 1) * W] for u in range(unroll)]
+    glens = [glen_ref[:, u * W:(u + 1) * W] for u in range(unroll)]
+
+    def body(kk, carry):
+        r = R - 1 - kk
+        bct = bc_ref[pl.ds(r, 1), :, :][0]
+        rct = rc_ref[pl.ds(r, 1), :, :][0]
+        out = list(carry)
+        for u in range(unroll):
+            out[u] = _swar_row_step(r, bct[:, u * W:(u + 1) * W],
+                                    rct[:, u * W:(u + 1) * W],
+                                    rlens[u], glens[u], out[u])
+        return tuple(out)
+
+    init = tuple(jnp.zeros((8, W), jnp.int32) for _ in range(unroll))
+    outs = jax.lax.fori_loop(0, R, body, init)
+    for u in range(unroll):
+        c_ref[:, u * W:(u + 1) * W] = outs[u]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("rmax", "interpret"))
+def swar_cost_pallas(read_t, gwin_t, rlen, glen, rmax: int, nrows,
+                     interpret: bool = False):
+    """Cost-only banded DP, SWAR form: returns the d=0 cost per candidate
+    saturated at 7 (int32 [n]).  Exact wherever the true cost <= 6 —
+    which covers every downstream consumer: ok needs cost <= ERROR_LIMIT
+    (3) and errs is only consumed for ok candidates (ops/score.py zeroes
+    non-ok payloads; the aligner's postprocess filters by ok before
+    touching errs/begin).  Validated bit-for-bit on hardware against
+    dp_rows_pallas under this contract (tools/swar_kernel_proto.py).
+
+    ``nrows`` [n / BLOCK_CANDS] int32 gives each block's dynamic row
+    bound (max rlen in the block; callers lay candidates out with
+    block_layout so the bound is tight).  Inputs follow the dp_rows
+    convention: read_t [rmax, n], gwin_t [rmax + 2*PAD, n],
+    rlen/glen [1, n] or [n]."""
+    n = read_t.shape[1]
+    assert n % BLOCK_CANDS == 0
+    m = n // 8
+    unroll = 4
+    wu = LANES * unroll  # lanes per program; 8 * wu == BLOCK_CANDS
+    bc = pack_bandchars(gwin_t, rmax)
+    rt = jnp.where(read_t >= 6, read_t - 2, read_t).astype(jnp.int32)
+    rc = rt * L7
+    bc_r = bc.reshape(rmax, 8, m)
+    rc_r = rc.reshape(rmax, 8, m)
+    rlen_r = rlen.reshape(8, m)
+    glen_r = glen.reshape(8, m)
+    grid = (m // wu,)
+    kernel = functools.partial(_swar_kernel_dyn, unroll=unroll)
+    c0 = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((rmax, 8, wu), lambda i, *_: (0, 0, i)),
+                pl.BlockSpec((rmax, 8, wu), lambda i, *_: (0, 0, i)),
+                pl.BlockSpec((8, wu), lambda i, *_: (0, i)),
+                pl.BlockSpec((8, wu), lambda i, *_: (0, i)),
+            ],
+            out_specs=[pl.BlockSpec((8, wu), lambda i, *_: (0, i))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((8, m), jnp.int32)],
+        interpret=interpret,
+    )(nrows, bc_r, rc_r, rlen_r, glen_r)[0]
+    return (c0.reshape(n) >> 12) & 0xF  # field 3 = band offset d = 0
+
+
+def _dp_kernel_reg_dyn(nrows_ref, read_ref, gwin_ref, rlen_ref, glen_ref,
+                       c_ref, a_ref):
+    """_dp_kernel_reg with a per-block dynamic row bound R from scalar
+    prefetch: the loop starts at row R-1 instead of rmax-1.  Rows
+    r >= rlen are accept rows whose outputs equal the loop init
+    (c = 0, a = d_off), so skipping rows >= R = max rlen in the block is
+    bit-exact; callers lay candidates out sorted so R is tight."""
+    R = nrows_ref[pl.program_id(0)]
+    rlen = rlen_ref[:, :]
+    glen = glen_ref[:, :]
+    shape = rlen.shape
+
+    inf = jnp.full(shape, INF, jnp.int32)
+    invalid = jnp.full(shape, INVALID_A, jnp.int32)
+
+    def gwin_row(r):
+        return gwin_ref[pl.ds(r, 1), :, :][0]
+
+    def body(it, carry):
+        cs, a_s, ch = carry
+        r = R - 1 - it
+        rchar = read_ref[pl.ds(r, 1), :, :][0]
+        match = [ch[d] == rchar for d in range(7)]
+        gpi = [(r + d - 3 + 1) < glen for d in range(7)]
+        last_row = (r + 1) == rlen
+        in_accept = r >= rlen
+
+        diag = [jnp.where(match[d] & (gpi[d] | last_row), cs[d], INF)
+                for d in range(7)]
+        sub = [jnp.where(~match[d] & gpi[d], cs[d] + 1, INF)
+               for d in range(7)]
+        c_dm1 = [inf] + list(cs[:6])
+        rskip = [jnp.where(~match[d], c_dm1[d] + 1, INF) for d in range(7)]
+        c_row = [jnp.minimum(jnp.minimum(diag[d], sub[d]), rskip[d])
+                 for d in range(7)]
+        gskip_ok = [(~match[d]) & gpi[d] for d in range(7)]
+        for _ in range(3):
+            up = list(c_row[1:]) + [inf]
+            c_row = [jnp.where(gskip_ok[d],
+                               jnp.minimum(c_row[d], up[d] + 1), c_row[d])
+                     for d in range(7)]
+        c_row = [jnp.where(in_accept, 0, c_row[d]) for d in range(7)]
+
+        c_up = list(c_row[1:]) + [inf]
+        take_sub = [(~match[d]) & gpi[d] & (cs[d] == c_row[d] - 1)
+                    for d in range(7)]
+        take_gskip = [(~match[d]) & ~take_sub[d] & gskip_ok[d] &
+                      (c_up[d] == c_row[d] - 1) for d in range(7)]
+        take_rskip = [(~match[d]) & ~take_sub[d] & ~take_gskip[d] &
+                      (c_dm1[d] == c_row[d] - 1) for d in range(7)]
+        a_dm1 = [invalid] + list(a_s[:6])
+        a_row = [jnp.where(match[d] | take_sub[d], a_s[d],
+                           jnp.where(take_rskip[d], a_dm1[d], INVALID_A))
+                 for d in range(7)]
+        for _ in range(4):
+            a_up = list(a_row[1:]) + [invalid]
+            a_row = [jnp.where(take_gskip[d], a_up[d], a_row[d])
+                     for d in range(7)]
+        a_row = [jnp.where(in_accept, d - 3, a_row[d]) for d in range(7)]
+
+        ch_new = (gwin_row(r),) + tuple(ch[:6])
+        return tuple(c_row), tuple(a_row), ch_new
+
+    c_init = tuple(jnp.zeros(shape, jnp.int32) for _ in range(7))
+    a_init = tuple(jnp.full(shape, d - 3, jnp.int32) for d in range(7))
+    ch_init = tuple(gwin_row(R + d) for d in range(7))
+    cs, a_s, _ch = jax.lax.fori_loop(0, R, body,
+                                     (c_init, a_init, ch_init))
+    c_ref[:, :] = cs[3]
+    a_ref[:, :] = a_s[3]
+
+
+@functools.partial(jax.jit, static_argnames=("rmax", "interpret"))
+def dp_rows_pallas_reg_dyn(read_t, gwin_t, rlen, glen, rmax: int, nrows,
+                           interpret: bool = False):
+    """Register-band kernel with per-block dynamic row bounds (same
+    contract as dp_rows_pallas; bit-exact).  ``nrows`` as in
+    swar_cost_pallas."""
+    n = read_t.shape[1]
+    assert n % BLOCK_CANDS == 0
+    m = n // 8
+    mb = BLOCK_CANDS // 8
+    read_r = read_t.reshape(rmax, 8, m)
+    gwin_r = gwin_t.reshape(gwin_t.shape[0], 8, m)
+    rlen_r = rlen.reshape(8, m)
+    glen_r = glen.reshape(8, m)
+    grid = (m // mb,)
+    c0, a0 = pl.pallas_call(
+        _dp_kernel_reg_dyn,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((rmax, 8, mb), lambda i, *_: (0, 0, i)),
+                pl.BlockSpec((gwin_t.shape[0], 8, mb),
+                             lambda i, *_: (0, 0, i)),
+                pl.BlockSpec((8, mb), lambda i, *_: (0, i)),
+                pl.BlockSpec((8, mb), lambda i, *_: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((8, mb), lambda i, *_: (0, i)),
+                pl.BlockSpec((8, mb), lambda i, *_: (0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((8, m), jnp.int32),
+            jax.ShapeDtypeStruct((8, m), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nrows, read_r, gwin_r, rlen_r, glen_r)
+    return c0.reshape(n), a0.reshape(n)
 
 
 def extend_kernel_pallas(st: dict, interpret: bool = False):

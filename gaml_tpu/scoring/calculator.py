@@ -131,28 +131,23 @@ class ProbCalculator:
         for fin in finishers:
             fin()
 
-    def score_batch(self, candidates) -> List[float]:
-        """Score several candidate walk-sets that will ALL be evaluated
-        (the scorer-in-the-loop sites: LocalChange2's 2-way choice,
-        FixGapLength's probe pairs — reference moves.cc:104-122, 694-800).
-
-        The union of every candidate's missing alignment windows is
-        aligned in ONE batched aligner call (native OpenMP or one device
-        dispatch — amortizing the chip round trip on the device backend)
-        before the candidates are scored sequentially.  Because every
-        candidate is scored, the union equals exactly the window set the
-        sequential plain-score path would have inserted, so cache
-        evolution — and every score and trajectory — is bit-identical.
-        PacBio sets batch the same way: the union of all candidates'
-        walks goes through ONE precompute_ranges_for_paths forward-DP
-        batch.  Per-job kernel outputs are independent of batch
-        membership, so the cached logprobs — and the scores — are
-        bit-identical to sequential fills WHEN both route to the same
-        kernel; a union batch has more DP cells than each per-candidate
-        fill and can cross the device-routing threshold where the
-        sequential fills would stay on the f64 native kernel, in which
-        case values agree to the device route's ~1e-5 band (the same
-        caveat PARITY.md pins for the device route itself)."""
+    def prefetch_candidates(self, candidates) -> None:
+        """Union-prefill every candidate walk-set's missing alignment
+        windows in ONE batched aligner call per read set (native OpenMP
+        or one device dispatch — amortizing the chip round trip on the
+        device backend).  Window alignments are pure functions of the
+        window content, so prefilling extra cache entries changes no
+        later score — callers that early-exit (the repeat hill-climb)
+        keep bit-identical trajectories while paying one dispatch per
+        round instead of per candidate.  PacBio sets prefill the same
+        way through ONE precompute_ranges_for_paths forward-DP batch;
+        the cached logprobs are bit-identical to sequential fills WHEN
+        both route to the same kernel — a union batch has more DP cells
+        than each per-candidate fill and can cross the device-routing
+        threshold where sequential fills would stay on the f64 native
+        kernel, in which case values agree to the device route's ~1e-5
+        band (the same caveat PARITY.md pins for the device route
+        itself)."""
         for _cfg, rs in self.single_reads:
             collect = set()
             for cand in candidates:
@@ -173,6 +168,18 @@ class ProbCalculator:
         for _cfg, rs in self.pacbio_reads:
             all_walks = [w for cand in candidates for w in cand]
             rs.precompute_ranges_for_paths(self.graph, all_walks)
+
+    def score_batch(self, candidates) -> List[float]:
+        """Score several candidate walk-sets that will ALL be evaluated
+        (the scorer-in-the-loop sites: LocalChange2's 2-way choice,
+        FixGapLength's probe pairs — reference moves.cc:104-122, 694-800).
+        Union-prefills the alignment caches (see prefetch_candidates),
+        then scores sequentially; because every candidate is scored, the
+        union equals exactly the window set the sequential plain-score
+        path would have inserted, so cache evolution — and every score
+        and trajectory — is bit-identical (same-kernel-routing caveat in
+        prefetch_candidates applies to PacBio)."""
+        self.prefetch_candidates(candidates)
         return [self.score(cand) for cand in candidates]
 
     def enable_sharded_pacbio(self, mesh, dtype=None,

@@ -99,6 +99,112 @@ def test_device_extender_matches_host_staging(tmp_path):
     assert np.array_equal(begin_h[ok_h], begin_d[ok_d])
 
 
+def test_device_extender_sorted_dynamic_matches_host(tmp_path, monkeypatch):
+    """The sorted-dynamic pallas path (SWAR forward cost + dynamic-rows
+    register backward, candidates block-laid by r0) must agree with the
+    host-staged exact path on every consumed value: ok everywhere,
+    errs/begin wherever ok.  Runs the real fused code in pallas
+    interpret mode; exercises multi-chunk dispatch + the scatter back to
+    caller order on both the packed and return_device routes."""
+    from gaml_tpu.ops.extend import extend_staged, stage_candidates_uniform
+    from gaml_tpu.ops.extend_device import DeviceExtender
+    from gaml_tpu.ops.extend_pallas import BLOCK_CANDS
+
+    rng = np.random.default_rng(3)
+    gr, seqs_l = make_linear_graph(rng, [900, 80, 700, 90, 600])
+    genome = "".join(seqs_l)
+    reads = sample_reads(rng, genome, 9000, 30, err_rate=0.03)
+    rs = make_readset(tmp_path, reads, "sorted_dyn")
+    bundle = rs.aligner.native_bundle
+    windows = [(0, 2, 4, 6, 8), (4, 6), (0, 2)]
+    seqs = [np.ascontiguousarray(spell_subpath(gr, w)[0], dtype=np.uint8)
+            for w in windows]
+    qs = query_windows_batch(bundle, seqs)
+    counts = np.array([len(q[0]) for q in qs])
+    rid = np.concatenate([q[0] for q in qs])
+    g0 = np.concatenate([q[1] for q in qs])
+    r0 = np.concatenate([q[2] for q in qs])
+    orient = np.concatenate([q[3] for q in qs])
+    seq_idx = np.repeat(np.arange(len(qs)), counts)
+    seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    seq_base = np.zeros(len(seqs), dtype=np.int64)
+    np.cumsum(seq_lens[:-1], out=seq_base[1:])
+    seq_buf = np.concatenate(seqs)
+    rows = bundle.row_of[rid]
+    assert len(rid) > BLOCK_CANDS  # the sorted path must engage
+
+    st = stage_candidates_uniform(seq_buf, seq_base, seq_lens, seq_idx,
+                                  g0, r0, rows, orient, bundle.codes_fwd,
+                                  bundle.codes_rc, read_ids=rid)
+    ok_h, errs_h, begin_h = extend_staged(st, use_pallas=False)
+
+    monkeypatch.setenv("GAML_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("GAML_DEV_CHUNK", str(BLOCK_CANDS))  # multi-chunk
+    ext = DeviceExtender(bundle.codes_fwd, bundle.codes_rc)
+    ok_d, errs_d, begin_d = ext.run(seq_buf, seq_base, seq_lens, seq_idx,
+                                    g0, r0, rows, orient, use_pallas=True)
+    assert np.array_equal(ok_h, ok_d)
+    assert np.array_equal(errs_h[ok_h], errs_d[ok_d])
+    assert np.array_equal(begin_h[ok_h], begin_d[ok_d])
+
+    okD, errsD, beginD = ext.run(seq_buf, seq_base, seq_lens, seq_idx,
+                                 g0, r0, rows, orient, use_pallas=True,
+                                 return_device=True)
+    okD = np.asarray(okD)[:len(rid)]
+    assert np.array_equal(ok_h, okD)
+    assert np.array_equal(errs_h[ok_h], np.asarray(errsD)[:len(rid)][okD])
+    assert np.array_equal(begin_h[ok_h],
+                          np.asarray(beginD)[:len(rid)][okD])
+
+
+def test_sorted_dynamic_kernels_bit_exact():
+    """Unit-level parity of the sorted-dynamic kernels against the
+    static pallas kernel (interpret mode): the dynamic-rows register
+    kernel is bit-equal on (c, a); the SWAR cost kernel matches under
+    its saturated contract (exact <= 6, clamped at 7)."""
+    import jax.numpy as jnp
+
+    from gaml_tpu.ops.extend import PAD
+    from gaml_tpu.ops.extend_pallas import (
+        BLOCK_CANDS, block_bounds, block_layout, dp_rows_pallas,
+        dp_rows_pallas_reg_dyn, swar_cost_pallas)
+
+    rng = np.random.default_rng(0)
+    n, rmax = BLOCK_CANDS, 32
+    read_np = rng.integers(0, 5, (rmax, n)).astype(np.int32)
+    gwin_np = rng.integers(0, 5, (rmax + 2 * PAD, n)).astype(np.int32)
+    gwin_np[PAD:PAD + rmax, : n // 2] = read_np[:, : n // 2]
+    gwin_np[gwin_np == 4] = 8  # genome sentinel
+    read_np[read_np == 4] = 6  # read sentinel
+    rlen_np = rng.integers(0, rmax + 1, n).astype(np.int32)
+    glen_np = rng.integers(0, rmax + PAD, n).astype(np.int32)
+
+    c_ref, a_ref = dp_rows_pallas(
+        jnp.asarray(read_np), jnp.asarray(gwin_np),
+        jnp.asarray(rlen_np[None, :]), jnp.asarray(glen_np[None, :]),
+        rmax, interpret=True)
+    c_ref, a_ref = np.asarray(c_ref), np.asarray(a_ref)
+
+    order = np.argsort(rlen_np, kind="stable")
+    perm = order[block_layout(n)]
+    nrows = block_bounds(rlen_np[order])
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+
+    c_d, a_d = dp_rows_pallas_reg_dyn(
+        jnp.asarray(read_np[:, perm]), jnp.asarray(gwin_np[:, perm]),
+        jnp.asarray(rlen_np[perm]), jnp.asarray(glen_np[perm]), rmax,
+        jnp.asarray(nrows), interpret=True)
+    assert np.array_equal(np.asarray(c_d)[inv], c_ref)
+    assert np.array_equal(np.asarray(a_d)[inv], a_ref)
+
+    c7 = np.asarray(swar_cost_pallas(
+        jnp.asarray(read_np[:, perm]), jnp.asarray(gwin_np[:, perm]),
+        jnp.asarray(rlen_np[perm]), jnp.asarray(glen_np[perm]), rmax,
+        jnp.asarray(nrows), interpret=True))
+    assert np.array_equal(c7[inv], np.minimum(c_ref, 7))
+
+
 def test_stage_uniform_matches_stage_candidates(tmp_path):
     from gaml_tpu.ops.extend import stage_candidates, stage_candidates_uniform
 

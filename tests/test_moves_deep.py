@@ -88,6 +88,59 @@ def test_repeat_interchange_splits_wrong_join(tmp_path):
     assert pc.score(paths) >= s_good - 1e-9
 
 
+def test_fix_rep_prefetch_trajectory_identical(tmp_path, monkeypatch):
+    """The round-level union prefetch in fix_rep_for_node2 must leave the
+    hill-climb trajectory bit-identical to unprefetched sequential
+    scoring: same score sequence, same final walks — only the aligner
+    dispatch count changes (one batched call per round)."""
+    rng = np.random.default_rng(1)
+    a, r, b, c, d = (random_seq(rng, 600), random_seq(rng, 260),
+                     random_seq(rng, 600), random_seq(rng, 650),
+                     random_seq(rng, 620))
+    gr = Graph()
+    ids = {}
+    for nm, s in (("a", a), ("r", r), ("b", b), ("c", c), ("d", d)):
+        ids[nm] = gr.add_node_pair(dna.encode_seq(s))
+    gr.add_arc(ids["a"], ids["r"])
+    gr.add_arc(ids["r"], ids["b"])
+    gr.add_arc(ids["c"], ids["r"])
+    gr.add_arc(ids["r"], ids["d"])
+    gr.calc_prob_sums()
+    gr.calc_normalize_map()
+    im, istd, L = 400, 30, 30
+    m1a, m2a = make_pairs(rng, a + r + b, 40, L, im, istd)
+    m1b, m2b = make_pairs(rng, c + r + d, 40, L, im, istd)
+    cfg = PairedReadConfig(step=im - 50.0, insert_mean=im, insert_std=istd)
+    bad = [[ids["a"], ids["r"], ids["d"]], [ids["c"], ids["r"], ids["b"]]]
+
+    def run(prefetch_on: bool, tag: str):
+        rs1 = make_readset(tmp_path, m1a + m1b, f"tp1{tag}")
+        rs2 = make_readset(tmp_path, m2a + m2b, f"tp2{tag}")
+        pc = ProbCalculator([], [(cfg, (rs1, rs2))], [], gr)
+        if not prefetch_on:
+            pc.prefetch_candidates = None  # getattr -> None disables
+        scores = []
+        real_score = ProbCalculator.score
+
+        def spy(self, paths):
+            s = real_score(self, paths)
+            scores.append(s)
+            return s
+
+        monkeypatch.setattr(ProbCalculator, "score", spy)
+        try:
+            paths = [list(p) for p in bad]
+            fix_rep_for_node2(paths, gr, 500, False, ids["r"], pc)
+        finally:
+            monkeypatch.setattr(ProbCalculator, "score", real_score)
+        return scores, paths
+
+    scores_pf, paths_pf = run(True, "a")
+    scores_seq, paths_seq = run(False, "b")
+    assert scores_pf == scores_seq
+    assert paths_pf == paths_seq
+
+
 def test_local_change2_rebuilds_junction(tmp_path):
     """Detach/rebuild between two long anchors chooses the graph route
     supported by the reads."""

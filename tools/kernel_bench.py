@@ -1,13 +1,27 @@
-"""Extension-kernel microbench: banded-extension DP cells/s by block width.
+"""Extension-kernel microbench: banded-extension DP cells/s.
 
-Times ONLY the kernel (inputs device-resident, output block_until_ready) so
-the number is comparable against the chip's VPU roofline — the honest
-end-to-end number lives in bench.py.  Usage:
+Two sections:
+
+1. block-width sweep of the static kernel (dp_rows_pallas) — the round-2
+   diagnostic that established the op-bound regime;
+2. the PRODUCTION sorted-dynamic path (SWAR forward cost + dynamic-rows
+   register backward, candidates block-laid by seed position r0) against
+   the static both-directions pair it replaced, on a realistic uniform
+   r0 distribution.
+
+Timing is the CHAINED MARGINAL cost: dispatch K back-to-back calls and
+block once, then report (t_K - t_1) / (K - 1) — the tunnel round trip
+(~21-35 ms on this setup) cancels out, so the number is the kernel's
+device-serial execution time, comparable to the VPU roofline.  The
+honest end-to-end number (staging + transfers + reduction) lives in
+bench.py.  Usage:
 
     python tools/kernel_bench.py [n_candidates] [rmax] [widths...]
 
-Prints one row per block width: warm median kernel time, DP cells/s, and
-%-of-roofline (v5e ~50 int32 Tops, ~25 elementwise ops per band cell).
+"cells/s" counts the FULL-PROBLEM band cells (n * rmax * 8 per
+direction): the sorted-dynamic path produces bit-equal consumed outputs
+while processing only each block's live rows, so its full-problem rate
+exceeds the per-processed-cell rate of either kernel.
 """
 import os
 import sys
@@ -18,6 +32,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def chain_time(fn, k=7):
+    import jax
+
+    o = fn()
+    jax.block_until_ready(o)
+    jax.device_get(o)
+
+    def run(reps):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(reps)]
+        jax.block_until_ready(outs)
+        jax.device_get(outs[-1])
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(3))
+    tk = min(run(k) for _ in range(3))
+    return (tk - t1) / (k - 1)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     rmax = int(sys.argv[2]) if len(sys.argv) > 2 else 96
@@ -26,44 +59,82 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gaml_tpu.ops.extend import PAD
-    from gaml_tpu.ops.extend_pallas import BAND8, dp_rows_pallas
+    from gaml_tpu.ops.extend import K, PAD
+    from gaml_tpu.ops.extend_pallas import (
+        BAND8, BLOCK_CANDS, block_bounds, block_layout, dp_rows_pallas,
+        dp_rows_pallas_reg_dyn, swar_cost_pallas)
 
     rng = np.random.default_rng(0)
     read_t = jnp.asarray(rng.integers(0, 4, (rmax, n)).astype(np.int32))
     gwin = rng.integers(0, 4, (rmax + 2 * PAD, n)).astype(np.int32)
-    # make most candidates match so the DP runs its full length
-    gwin[PAD:PAD + rmax, :] = np.asarray(read_t)
+    # half the candidates match so both all-match and mismatch-heavy rows
+    # are represented (the DP's work is data-independent; this only keeps
+    # the outputs meaningful)
+    gwin[PAD:PAD + rmax, : n // 2] = np.asarray(read_t)[:, : n // 2]
     gwin_t = jnp.asarray(gwin)
     rlen = jnp.full((1, n), rmax, jnp.int32)
     glen = jnp.full((1, n), rmax + PAD, jnp.int32)
 
     cells = n * rmax * BAND8
     dev = jax.devices()[0].platform
-    print(f"device={dev} n={n} rmax={rmax} cells/call={cells/1e6:.0f}M",
-          flush=True)
+    print(f"device={dev} n={n} rmax={rmax} cells/call={cells/1e6:.0f}M "
+          f"(chained-marginal timing)", flush=True)
     for w in widths:
         if n % w:
             continue
         try:
-            c, a = dp_rows_pallas(read_t, gwin_t, rlen, glen, rmax, width=w)
-            jax.block_until_ready((c, a))
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                c, a = dp_rows_pallas(read_t, gwin_t, rlen, glen, rmax,
-                                      width=w)
-                jax.block_until_ready((c, a))
-                ts.append(time.perf_counter() - t0)
-            t = sorted(ts)[len(ts) // 2]
+            t = chain_time(lambda: dp_rows_pallas(read_t, gwin_t, rlen,
+                                                  glen, rmax, width=w))
             rate = cells / t
-            # ~25 int32 elementwise ops per band cell vs ~50 Tops peak
-            pct = 100.0 * rate * 25 / 50e12
             print(f"width={w:5d}  t={t*1000:8.2f} ms  {rate/1e9:7.2f} G "
-                  f"cells/s  ~{pct:.1f}% of int32 roofline", flush=True)
+                  f"cells/s", flush=True)
         except Exception as e:
             print(f"width={w:5d}  FAILED: {type(e).__name__}: {e}",
                   flush=True)
+
+    if n % BLOCK_CANDS:
+        return
+    # ---- production sorted-dynamic path vs the static pair it replaced.
+    # r0 uniform over the read (max-hash argmax position), L chosen so
+    # the live rows fill rmax: fwd rows = L-K-r0, bwd rows = r0.
+    L = rmax + K
+    r0 = rng.integers(0, L - K + 1, n).astype(np.int32)
+    rlen_f = (L - K - r0).astype(np.int32)
+    rlen_b = r0.copy()
+    glen_np = np.full(n, rmax + PAD, np.int32)
+
+    order = np.argsort(r0, kind="stable")
+    perm = order[block_layout(n)]
+    read_s = jnp.asarray(np.asarray(read_t)[:, perm])
+    gwin_s = jnp.asarray(gwin[:, perm])
+    glen_s = jnp.asarray(glen_np[perm])
+    rlf_s = jnp.asarray(rlen_f[perm])
+    rlb_s = jnp.asarray(rlen_b[perm])
+    nrf = jnp.asarray(block_bounds(rlen_f[order]))
+    nrb = jnp.asarray(block_bounds(rlen_b[order]))
+    rlf_j = jnp.asarray(rlen_f[None, :])
+    rlb_j = jnp.asarray(rlen_b[None, :])
+
+    def static_pair():
+        a = dp_rows_pallas(read_t, gwin_t, rlf_j, glen, rmax)
+        b = dp_rows_pallas(read_t, gwin_t, rlb_j, glen, rmax)
+        return a, b
+
+    def sorted_pair():
+        a = swar_cost_pallas(read_s, gwin_s, rlf_s, glen_s, rmax, nrf)
+        b = dp_rows_pallas_reg_dyn(read_s, gwin_s, rlb_s, glen_s, rmax,
+                                   nrb)
+        return a, b
+
+    t_old = chain_time(static_pair)
+    t_new = chain_time(sorted_pair)
+    full = 2 * cells
+    print(f"static pair (both dirs):         t={t_old*1000:8.2f} ms  "
+          f"{full/t_old/1e9:7.2f} G full-problem cells/s", flush=True)
+    print(f"PRODUCTION sorted-dynamic pair:  t={t_new*1000:8.2f} ms  "
+          f"{full/t_new/1e9:7.2f} G full-problem cells/s  "
+          f"({t_old/t_new:.2f}x; fwd rows avg {rlen_f.mean():.0f}, "
+          f"bwd {rlen_b.mean():.0f} of {rmax})", flush=True)
 
 
 if __name__ == "__main__":
