@@ -116,9 +116,70 @@ def main():
         jnp.asarray(mc.PB_N_READS, dtype=jnp.int32))
     pbs, pbz = pb_scorer.score_fn(mc.PB_ROWS, pb_pad, mc.PB_N_READS)(*pb_args)
 
+    # PacBio forward DP on the mesh (forward_batch's shard_map): each
+    # process stages only its own rows' jobs; per-job outputs must equal
+    # the unsharded kernel on the same jobs (pure data parallelism)
+    genome, reads_f, rlens_f, centers_f, gst_f, gl_f = mc.pb_forward_world()
+    jobs_ps = mc.PB_FWD_JOBS // mc.N_ROWS
+    slf = slice(proc * n_local * jobs_ps, (proc + 1) * n_local * jobs_ps)
+    fwd_fn = pb_scorer.forward_fn(mc.PB_FWD_JOBS, len(genome),
+                                  mc.PB_FWD_RMAX, mc.PB_FWD_WIDTH)
+    fwd_out = fwd_fn(
+        jnp.asarray(genome),
+        jax.make_array_from_process_local_data(shp, reads_f[slf]),
+        jax.make_array_from_process_local_data(shp, rlens_f[slf]),
+        jax.make_array_from_process_local_data(shp, centers_f[slf]),
+        jax.make_array_from_process_local_data(shp, gst_f[slf]),
+        jax.make_array_from_process_local_data(shp, gl_f[slf]),
+        jnp.asarray(mc.PB_FWD_LM, dtype=jnp.float32),
+        jnp.asarray(mc.PB_FWD_LMM, dtype=jnp.float32))
+    from gaml_tpu.ops.forward import banded_forward
+
+    exp_local = np.asarray(banded_forward(
+        jnp.asarray(genome), jnp.asarray(reads_f[slf]),
+        jnp.asarray(rlens_f[slf]), jnp.asarray(centers_f[slf]),
+        jnp.asarray(gst_f[slf]), jnp.asarray(gl_f[slf]),
+        jnp.asarray(mc.PB_FWD_LM, dtype=jnp.float32),
+        jnp.asarray(mc.PB_FWD_LMM, dtype=jnp.float32),
+        mc.PB_FWD_RMAX, mc.PB_FWD_WIDTH))
+    pairs = [(s.index[0].start or 0, np.asarray(s.data).ravel())
+             for s in fwd_out.addressable_shards]
+    fwd_local = np.concatenate(
+        [d for _i, d in sorted(pairs, key=lambda t: t[0])])
+    fwd_ok = bool(np.allclose(fwd_local, exp_local, rtol=1e-6, atol=1e-6))
+
+    # incremental bucket_apply: +A +B -B into device-resident totals must
+    # equal scoring block A alone (modulo f32 add/sub cancellation — the
+    # reference's sequential += / -= has the same cancellation class)
+    blk_ps = mc.PAIRED_BLK // mc.N_ROWS
+    lo2b = proc * n_local * blk_ps
+    hi2b = (proc + 1) * n_local * blk_ps
+    apply_fn = scorer.bucket_fn((mc.PAIRED_BLK, mc.PAIRED_K), n_pad,
+                                apply=True)
+
+    def blk_args(which):
+        b = mc.paired_inc_block(which, lo2b, hi2b)
+        return [jax.make_array_from_process_local_data(shp, b[k])
+                for k in ("pos1", "ed1", "or1", "pos2", "ed2", "or2",
+                          "rid", "len1", "len2", "mask")]
+
+    mppb = jnp.asarray(-0.7, dtype=np_dt)
+    mps = jnp.asarray(-10.0, dtype=np_dt)
+    probs = jax.make_array_from_process_local_data(
+        shp, np.zeros(n_pad // mc.N_ROWS * n_local, dtype=np_dt))
+    args_a = blk_args("A")
+    args_b = blk_args("B")
+    for sign, bargs in ((1.0, args_a), (1.0, args_b), (-1.0, args_b)):
+        probs = apply_fn(probs, jnp.asarray(sign, dtype=np_dt),
+                         *(bargs + [mppb, mps]))
+    incs, incz = scorer.reduce_fn(n_pad, mc.PAIRED_N_READS)(
+        probs, lens_g, mask_g, jnp.asarray(1000.0, dtype=np_dt), mppb, mps)
+
     out = {"score": float(score), "zeros": int(zeros), "nb": nb,
            "paired_score": float(ps), "paired_zeros": int(pz),
-           "pacbio_score": float(pbs), "pacbio_zeros": int(pbz)}
+           "pacbio_score": float(pbs), "pacbio_zeros": int(pbz),
+           "fwd_ok": fwd_ok, "fwd_vals": [float(x) for x in fwd_local],
+           "inc_score": float(incs), "inc_zeros": int(incz)}
     with open(os.environ["GAML_MP_OUT"], "w") as f:
         json.dump(out, f)
     jax.distributed.shutdown()

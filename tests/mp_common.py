@@ -144,3 +144,51 @@ def pacbio_reduction_inputs(n_pad):
     lens_mask = np.zeros(n_pad, bool)
     lens_mask[:PB_N_READS] = True
     return floors, lens_mask
+
+
+# ------------------------------------------------- pacbio forward DP jobs
+PB_FWD_JOBS = 8        # == N_ROWS: one job per mesh row
+PB_FWD_RMAX = 64
+PB_FWD_WIDTH = 64
+PB_FWD_GLEN = 300
+PB_FWD_LM = float(np.log(0.9))
+PB_FWD_LMM = float(np.log(0.03))
+
+
+def pb_forward_world():
+    """Deterministic staged forward-DP job batch (genome + per-job read,
+    band centers along the sampling diagonal) for the mesh forward_batch
+    coverage; any process can rebuild any job identically."""
+    rng = np.random.default_rng(7)
+    genome = rng.integers(0, 4, PB_FWD_GLEN).astype(np.uint8)
+    reads = np.full((PB_FWD_JOBS, PB_FWD_RMAX), 6, np.uint8)
+    rlens = np.zeros(PB_FWD_JOBS, np.int32)
+    centers = np.zeros((PB_FWD_JOBS, PB_FWD_RMAX + 1), np.int32)
+    gstarts = np.zeros(PB_FWD_JOBS, np.int32)
+    glens = np.full(PB_FWD_JOBS, PB_FWD_GLEN, np.int32)
+    for i in range(PB_FWD_JOBS):
+        L = int(rng.integers(40, PB_FWD_RMAX + 1))
+        p = int(rng.integers(0, PB_FWD_GLEN - PB_FWD_RMAX - 1))
+        r = genome[p:p + L].copy()
+        errs = rng.random(L) < 0.1
+        r[errs] = (r[errs] + rng.integers(1, 4, int(errs.sum()))) % 4
+        reads[i, :L] = r
+        rlens[i] = L
+        centers[i] = np.minimum(p + np.arange(PB_FWD_RMAX + 1),
+                                PB_FWD_GLEN - 1)
+    return genome, reads, rlens, centers, gstarts, glens
+
+
+# --------------------------------------- incremental bucket_apply blocks
+# Two "walks" worth of pair rows: block A = global rows [0, 16), block B
+# = [16, 32).  The incremental scenario applies +A, +B, then -B into the
+# device-resident running totals; the result must match scoring A alone
+# (to f32 add/sub cancellation accuracy — the reference's sequential
+# probs[read] += p / -= p has the same cancellation class).
+PAIRED_BLK = PAIRED_ROWS // 2
+
+
+def paired_inc_block(which, lo, hi):
+    """Local [lo, hi) slice of incremental block 'A' or 'B'."""
+    off = 0 if which == "A" else PAIRED_BLK
+    return paired_row_block(off + lo, off + hi)

@@ -53,6 +53,34 @@ def _single_process_paired_expected():
     return float(s), int(z)
 
 
+def _single_process_inc_expected():
+    """Expected incremental result: block A scored alone (the +A +B -B
+    sequence in the child must cancel B's contribution)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gaml_tpu.parallel.paired_sharded import ShardedPairedScorer
+
+    mesh = Mesh(np.asarray(jax.devices()[:mc.N_ROWS]).reshape(mc.N_ROWS, 1),
+                ("reads", "cand"))
+    scorer = ShardedPairedScorer(mesh, np.log(0.96), np.log(0.01),
+                                 np.log(0.96), np.log(0.01),
+                                 mc.PAIRED_IM, mc.PAIRED_ISTD,
+                                 dtype=jnp.float32, collect_events=False)
+    blk = mc.paired_inc_block("A", 0, mc.PAIRED_BLK)
+    n_pad = ((mc.PAIRED_N_READS + mc.N_ROWS - 1) // mc.N_ROWS) * mc.N_ROWS
+    local, _ev = scorer.bucket_products(blk, n_pad, -0.7, -10.0)
+    lens = np.full(n_pad, 2 * mc.PAIRED_L, dtype=np.float32)
+    lmask = np.zeros(n_pad, bool)
+    lmask[:mc.PAIRED_N_READS] = True
+    shp = NamedSharding(mesh, P("reads"))
+    s, z = scorer.reduce(local, jax.device_put(jnp.asarray(lens), shp),
+                         jax.device_put(jnp.asarray(lmask), shp),
+                         n_pad, mc.PAIRED_N_READS, 1000.0, -0.7, -10.0)
+    return float(s), int(z)
+
+
 def _single_process_pacbio_expected():
     import jax
     import jax.numpy as jnp
@@ -123,6 +151,10 @@ def test_two_process_pipeline_matches_single(tmp_path):
         assert proc.returncode == 0, log[-3000:]
 
     results = [json.loads(out.read_text()) for out in outs]
+    # forward-DP job outputs are per-process local slices (different
+    # jobs); everything else is replicated psum-merged state
+    fwd_vals = [r.pop("fwd_vals") for r in results]
+    assert len(fwd_vals[0]) + len(fwd_vals[1]) == mc.PB_FWD_JOBS
     # both processes hold the same replicated psum-merged result
     assert results[0] == results[1]
     assert results[0]["zeros"] == expected_zeros
@@ -135,6 +167,16 @@ def test_two_process_pipeline_matches_single(tmp_path):
     assert results[0]["pacbio_zeros"] == exp_pb_zeros
     assert results[0]["pacbio_score"] == pytest.approx(exp_pb_score,
                                                        rel=1e-6)
+    # PacBio forward DP under the mesh: each process's sharded per-job
+    # outputs equal the unsharded kernel on the same jobs
+    assert results[0]["fwd_ok"] and results[1]["fwd_ok"]
+    # incremental bucket_apply: +A +B -B into device-resident totals ==
+    # scoring A alone (f32 cancellation tolerance), replicated across
+    # processes
+    exp_inc_score, exp_inc_zeros = _single_process_inc_expected()
+    assert results[0]["inc_zeros"] == exp_inc_zeros
+    assert results[0]["inc_score"] == pytest.approx(exp_inc_score,
+                                                    rel=2e-5)
 
 
 def test_cli_distributed_wiring(tmp_path):
