@@ -1,0 +1,218 @@
+"""Device-resident staging for the PacBio banded forward DP.
+
+The round-3 device route shipped dense per-chunk staging arrays
+(reads/steps/fetch/lo/hi/cw0/m0 as int8) — ~3.2 MB per 256-job chunk,
+which through a tunneled chip (~50 MB/s + ~21 ms latency) made a warm
+67M-cell dispatch ~48 ms with ~2 ms of kernel compute.  TPU-natively,
+almost all of that staging is DERIVABLE on device (the short-read path
+solved exactly this in ops/extend_device.py):
+
+- read rows: resident 4-bit-packed fwd/rc matrices, uploaded once per
+  read set (mirrors DeviceExtender); a dispatch ships 5 bytes/job of
+  read metadata;
+- band-center steps: the only irreducible per-job data (the guide path
+  is an anchor interpolation, reference graph.cc:2183-2222) — shipped
+  2-bit-packed, 16 steps per int32 (16x fewer bytes than the int8 dense
+  form);
+- everything else (bases cumsum, the 2 chars entering the band each row,
+  band bounds lo/hi, the initial band cw0/m0) is computed on device from
+  the steps + a per-BATCH walk-sequence buffer packed as (char, next
+  char) 8-bit pairs — so the fetch chars need ONE flat word gather per
+  (job, row) instead of two.
+
+Outputs are bit-identical to ops.forward_pallas.banded_forward_pallas:
+the derivations are the same integer formulas the host prestaging runs,
+and the kernel consumes identical arrays (tested in interpret mode in
+tests/test_pacbio.py).  Reference kernel being staged:
+AligmentProbability, graph.cc:2175-2297.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .forward_pallas import NEG, ROWS_PER_STEP, WIDTH
+
+BPW = 8     # read codes per packed int32 word (4-bit fields)
+SPW = 4     # seq (char, next-char) pairs per packed int32 word (8 bits)
+SPB = 16    # band steps per packed int32 word (2-bit fields)
+
+
+def _bucket_pow2(n: int, lo: int) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def pack_reads4(codes_list, rmax_cls: int, n_rows_pad: int) -> np.ndarray:
+    """[n_rows_pad, rmax_cls/8] int32: each row a read padded with code 6
+    (the dense staging's pad), 8 codes per word in 4-bit fields."""
+    buf = np.full((n_rows_pad, rmax_cls), 6, dtype=np.int32)
+    for i, c in enumerate(codes_list):
+        buf[i, :len(c)] = c
+    b = buf.reshape(n_rows_pad, rmax_cls // BPW, BPW)
+    out = b[..., 0]
+    for k in range(1, BPW):
+        out = out | (b[..., k] << (4 * k))
+    return out
+
+
+def pack_seq_pairs(seq: np.ndarray, s_pad: int) -> np.ndarray:
+    """[s_pad/4] int32 where 8-bit field p of word w holds the pair
+    (char(i), char(i+1)) of position i = 4w + p as char | next << 4;
+    out-of-sequence chars are 9 (the host prestaging's sentinel)."""
+    chars = np.full(s_pad + 1, 9, dtype=np.int32)
+    chars[:len(seq)] = seq
+    pair = chars[:-1] | (chars[1:] << 4)
+    b = pair.reshape(s_pad // SPW, SPW)
+    out = b[:, 0]
+    for k in range(1, SPW):
+        out = out | (b[:, k] << (8 * k))
+    return out
+
+
+def pack_steps2(steps: np.ndarray) -> np.ndarray:
+    """[c, R] int32 steps in {0,1,2} -> [c, R/16] int32, 2-bit fields."""
+    c, r = steps.shape
+    b = steps.astype(np.int32).reshape(c, r // SPB, SPB)
+    out = b[..., 0]
+    for k in range(1, SPB):
+        out = out | (b[..., k] << (2 * k))
+    return out
+
+
+_STAGE_FNS = {}
+
+
+def _get_stage(rmax_p: int, c: int, sw: int, n_rows_pad: int, wr: int,
+               log_match: float, log_mismatch: float):
+    """Shared jitted stage+DP body for one shape bucket; resident read
+    matrices arrive as ARGUMENTS (a closure capture would bake them into
+    the executable — see ops/extend_device.py)."""
+    key = (rmax_p, c, sw, n_rows_pad, wr, float(log_match),
+           float(log_mismatch), os.environ.get("GAML_PALLAS_INTERPRET"))
+    fn = _STAGE_FNS.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from .forward_pallas import banded_forward_pallas_call
+
+    interp = os.environ.get("GAML_PALLAS_INTERPRET") == "1"
+
+    def stage(fwd_words, rc_words, seq_pairs, rid, strand, rlens, c0,
+              steps_pk, gstarts, glens):
+        rid = rid.astype(jnp.int32)
+        strand = strand.astype(jnp.int32)
+        c0 = c0.astype(jnp.int32)
+        gstarts = gstarts.astype(jnp.int32)
+        glens = glens.astype(jnp.int32)
+
+        # unpack band steps: [c, rmax_p] in {0,1,2}
+        r = jnp.arange(rmax_p)
+        words = jnp.repeat(steps_pk, SPB, axis=1)[:, :rmax_p]
+        steps = (words >> (2 * (r % SPB))[None, :]) & 3
+
+        bases0 = c0 - WIDTH // 2                       # [c]
+        cums = jnp.cumsum(steps, axis=1)               # [c, rmax_p]
+
+        # seq pair lookup: pair word gather + 8-bit phase extract
+        smax = sw * SPW - 1
+
+        def pair_at(idx):
+            safe = jnp.clip(idx, 0, smax)
+            w = seq_pairs[safe >> 2]
+            p = (w >> (8 * (safe & 3))) & 0xFF
+            ch = jnp.where((idx >= 0) & (idx <= smax), p, 9 | (9 << 4))
+            return ch & 0xF, ch >> 4
+
+        offs = jnp.arange(WIDTH)
+        # initial band chars/mass (host formulas verbatim)
+        cw0, _n0 = pair_at(bases0[:, None] + offs[None, :] - 1)  # [c, W]
+        g0 = bases0[:, None] + offs[None, :]
+        in0 = (g0 >= gstarts[:, None]) & (g0 < (gstarts + glens)[:, None])
+        m0 = jnp.where(in0, 0.0, NEG).astype(jnp.float32)
+
+        # per-row band-edge chars: ONE pair gather per (job, row)
+        basesr = bases0[:, None] + cums                # [c, rmax_p]
+        f1, f2 = pair_at(basesr + (WIDTH - 3))
+
+        lo = jnp.clip(gstarts[:, None] - basesr, 0, WIDTH)
+        hi = jnp.clip((gstarts + glens)[:, None] - basesr, 0, WIDTH)
+
+        # read rows from the resident packed matrices
+        owords = jnp.where((strand == 1)[:, None], rc_words[rid],
+                           fwd_words[rid])             # [c, wr]
+        rw = jnp.repeat(owords, BPW, axis=1)[:, :rmax_p]
+        reads = (rw >> (4 * (r % BPW))[None, :]) & 0xF
+
+        fetch_t = jnp.stack([f1.T, f2.T], axis=1)      # [rmax_p, 2, c]
+        return banded_forward_pallas_call(
+            reads.T, steps.T, fetch_t, lo.T, hi.T, cw0.T, m0.T,
+            rlens.astype(jnp.int32)[None, :], log_match, log_mismatch,
+            rmax_p, interpret=interp)
+
+    fn = _STAGE_FNS[key] = jax.jit(stage)
+    return fn
+
+
+class ForwardDeviceEngine:
+    """Per-read-set device forward-DP engine with resident read rows."""
+
+    def __init__(self, read_seqs, rmax_cls: int):
+        import jax
+        import jax.numpy as jnp
+
+        from .extend_device import _enable_compile_cache
+
+        _enable_compile_cache()
+        self.rmax_cls = rmax_cls
+        n = len(read_seqs)
+        self.n_rows_pad = _bucket_pow2(max(n, 1), 256)
+        self.wr = rmax_cls // BPW
+        fwd = pack_reads4(read_seqs, rmax_cls, self.n_rows_pad)
+        from ..core import dna
+
+        rc = pack_reads4([dna.revcomp(c) for c in read_seqs], rmax_cls,
+                         self.n_rows_pad)
+        self.fwd_words = jax.device_put(jnp.asarray(fwd))
+        self.rc_words = jax.device_put(jnp.asarray(rc))
+
+    def prepare_seq(self, seq: np.ndarray):
+        """Pack + upload the walk-sequence pair buffer; callers do this
+        ONCE per batch and pass the returned device array to every chunk
+        dispatch of that batch."""
+        import jax.numpy as jnp
+
+        s_pad = _bucket_pow2(len(seq) + 2, 4096)
+        return jnp.asarray(pack_seq_pairs(np.asarray(seq), s_pad))
+
+    def dispatch(self, seq_pairs, rid, strand, rlens, centers, gstarts,
+                 glens, log_match: float, log_mismatch: float):
+        """One fixed-shape chunk dispatch; returns the device handle
+        ([c] f32, slice to the live jobs after fetching).  ``seq_pairs``
+        is a prepare_seq result; ``centers`` is the dense
+        [c, rmax_cls + 1] host array (the 2-bit step packing happens
+        here; only the packed form is shipped)."""
+        import jax.numpy as jnp
+
+        c = len(rid)
+        rmax_p = ((self.rmax_cls + ROWS_PER_STEP - 1)
+                  // ROWS_PER_STEP) * ROWS_PER_STEP
+        assert rmax_p == self.rmax_cls, "rmax_cls must be a ROWS multiple"
+        steps = np.clip(np.diff(centers, axis=1), 0, 2)
+        fn = _get_stage(rmax_p, c, int(seq_pairs.shape[0]),
+                        self.n_rows_pad, self.wr, float(log_match),
+                        float(log_mismatch))
+        return fn(self.fwd_words, self.rc_words, seq_pairs,
+                  jnp.asarray(np.asarray(rid, dtype=np.int32)),
+                  jnp.asarray(np.asarray(strand, dtype=np.uint8)),
+                  jnp.asarray(np.asarray(rlens, dtype=np.int32)),
+                  jnp.asarray(centers[:, 0].astype(np.int32)),
+                  jnp.asarray(pack_steps2(steps)),
+                  jnp.asarray(np.asarray(gstarts, dtype=np.int32)),
+                  jnp.asarray(np.asarray(glens, dtype=np.int32)))

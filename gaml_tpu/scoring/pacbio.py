@@ -265,7 +265,8 @@ class PacbioReadSet:
             return
         chunk = int(os.environ.get("GAML_PB_CHUNK", "256"))
         chunk = max(128, ((chunk + 127) // 128) * 128)
-        r0 = max(self.read_seq, key=len)
+        ridx = int(np.argmax([len(r) for r in self.read_seq]))
+        r0 = self.read_seq[ridx]
         centers = list(range(len(r0) + 1))
         seq = np.tile(r0, 2)[:len(r0) + 256]
         saved = {k: os.environ.get(k)
@@ -273,7 +274,7 @@ class PacbioReadSet:
         os.environ["GAML_DEV_EAGER"] = "1"
         os.environ["GAML_PB_DEVICE_MIN_CELLS"] = "0"
         try:
-            self._forward_batch(seq, [(r0, centers)] * chunk)
+            self._forward_batch(seq, [(r0, centers, ridx, 0)] * chunk)
         finally:
             for k, v in saved.items():
                 if v is None:
@@ -289,6 +290,20 @@ class PacbioReadSet:
         if prof is not None:
             prof.clear()
 
+    def _ensure_fwd_engine(self, rmax_cls: int):
+        """The device forward engine with this read set's RESIDENT packed
+        read rows (ops.forward_device); rebuilt only if the rmax class
+        grows (a new longest read after ingestion — cannot happen in
+        normal use)."""
+        eng = getattr(self, "_fwd_engine", None)
+        if eng is not None and eng.rmax_cls == rmax_cls:
+            return eng
+        from ..ops.forward_device import ForwardDeviceEngine
+
+        eng = ForwardDeviceEngine(self.read_seq, rmax_cls)
+        self._fwd_engine = eng
+        return eng
+
     def _forward_batch(self, seq: np.ndarray, jobs, extents=None):
         """jobs: list of (read codes, centers).  Returns logprobs list.
         ``extents`` optionally gives each job's (gstart, glen) target span
@@ -297,17 +312,24 @@ class PacbioReadSet:
         TPU kernel on accelerator backends, the jnp kernel elsewhere."""
         if not jobs:
             return []
-        rmax = max(len(r) for r, _c in jobs)
+        rmax = max(len(j[0]) for j in jobs)
         rmax = ((rmax + 127) // 128) * 128
         b = len(jobs)
         reads = np.full((b, rmax), 6, dtype=np.uint8)
         rlens = np.zeros(b, dtype=np.int32)
         centers = np.zeros((b, rmax + 1), dtype=np.int32)
-        for i, (r, c) in enumerate(jobs):
+        # (rid, strand) job metadata for the resident-read device route;
+        # rid -1 marks a job without it (falls back to dense staging)
+        job_rid = np.full(b, -1, dtype=np.int32)
+        job_strand = np.zeros(b, dtype=np.uint8)
+        for i, (r, c, *extra) in enumerate(jobs):
             reads[i, :len(r)] = r
             rlens[i] = len(r)
             centers[i, :len(c)] = c
             centers[i, len(c):] = c[-1]
+            if extra:
+                job_rid[i] = extra[0]
+                job_strand[i] = extra[1]
         if extents is None:
             gstarts = np.zeros(b, dtype=np.int32)
             glens = np.full(b, len(seq), dtype=np.int32)
@@ -402,6 +424,17 @@ class PacbioReadSet:
             lm = float(np.log(self.match_prob))
             lmm = float(np.log(self.mismatch_prob))
 
+            # resident-read route: read rows live on the device (uploaded
+            # once per read set), a dispatch ships 2-bit-packed band
+            # steps + ~13 B/job of metadata instead of ~12 KB/job of
+            # dense staging — the transfer wall was the entire gap
+            # between the 48 ms warm dispatch and its ~2 ms of kernel
+            # compute.  GAML_PB_RESIDENT=0 restores dense staging.
+            engine = None
+            if (job_rid >= 0).all() and __import__("os").environ.get(
+                    "GAML_PB_RESIDENT", "1") == "1":
+                engine = self._ensure_fwd_engine(rmax_cls)
+
             def chunk_arrays(s, e):
                 reads_c = np.full((chunk, rmax_cls), 6, dtype=np.uint8)
                 reads_c[:e - s, :rmax] = reads[s:e]
@@ -415,6 +448,22 @@ class PacbioReadSet:
                 gl_c = np.zeros(chunk, dtype=np.int32)
                 gl_c[:e - s] = glens[s:e]
                 return reads_c, rlens_c, centers_c, gst_c, gl_c
+
+            def chunk_meta(s, e):
+                rlens_c = np.zeros(chunk, dtype=np.int32)
+                rlens_c[:e - s] = rlens[s:e]
+                centers_c = np.zeros((chunk, rmax_cls + 1), dtype=np.int32)
+                centers_c[:e - s, :rmax + 1] = centers[s:e]
+                centers_c[:e - s, rmax + 1:] = centers[s:e, -1:]
+                gst_c = np.zeros(chunk, dtype=np.int32)
+                gst_c[:e - s] = gstarts[s:e]
+                gl_c = np.zeros(chunk, dtype=np.int32)
+                gl_c[:e - s] = glens[s:e]
+                rid_c = np.zeros(chunk, dtype=np.int32)
+                rid_c[:e - s] = job_rid[s:e]
+                str_c = np.zeros(chunk, dtype=np.uint8)
+                str_c[:e - s] = job_strand[s:e]
+                return rid_c, str_c, rlens_c, centers_c, gst_c, gl_c
 
             # cost-model routing, as for short reads: the single
             # (chunk, rmax-class) executable compiles server-side for
@@ -431,6 +480,13 @@ class PacbioReadSet:
                     # staging arrays built lazily INSIDE the warm thread:
                     # a default-argument build would copy several MB on
                     # every routed call even once the executable is warm
+                    if engine is not None:
+                        sp = engine.prepare_seq(seq)
+                        rid_c, str_c, rlens_c, centers_c, gst_c, gl_c = \
+                            chunk_meta(0, min(chunk, b))
+                        engine.dispatch(sp, rid_c, str_c, rlens_c,
+                                        centers_c, gst_c, gl_c, lm, lmm)
+                        return
                     args = chunk_arrays(0, min(chunk, b))
                     banded_forward_pallas(seq, args[0], args[1], args[2],
                                           args[3], args[4], lm, lmm,
@@ -447,13 +503,22 @@ class PacbioReadSet:
 
             try:
                 handles = []
+                seq_pairs = engine.prepare_seq(seq) if engine is not None \
+                    else None
                 for s in range(0, b, chunk):
                     e = min(s + chunk, b)
-                    reads_c, rlens_c, centers_c, gst_c, gl_c = \
-                        chunk_arrays(s, e)
-                    h = banded_forward_pallas(
-                        seq, reads_c, rlens_c, centers_c, gst_c, gl_c,
-                        lm, lmm, rmax_cls, return_device=True)
+                    if engine is not None:
+                        rid_c, str_c, rlens_c, centers_c, gst_c, gl_c = \
+                            chunk_meta(s, e)
+                        h = engine.dispatch(seq_pairs, rid_c, str_c,
+                                            rlens_c, centers_c, gst_c,
+                                            gl_c, lm, lmm)
+                    else:
+                        reads_c, rlens_c, centers_c, gst_c, gl_c = \
+                            chunk_arrays(s, e)
+                        h = banded_forward_pallas(
+                            seq, reads_c, rlens_c, centers_c, gst_c, gl_c,
+                            lm, lmm, rmax_cls, return_device=True)
                     handles.append((h, e - s))
                 fetched = jax.device_get([h for h, _ in handles])
                 out = []
@@ -584,7 +649,9 @@ class PacbioReadSet:
                 for chain in chains:
                     q = read if chain.strand == 0 else rc
                     centers = guide_path(chain, len(q), len(seq))
-                    jobs.append((q, centers))
+                    # (rid, strand) lets the device route read q from its
+                    # RESIDENT packed row instead of shipping the bytes
+                    jobs.append((q, centers, rid, chain.strand))
                     meta.append((rid, chain))
         return dict(seq=seq, begins=begins, ends=ends, path=path,
                     subpath_starts=subpath_starts, dont_save=dont_save,
@@ -661,8 +728,8 @@ class PacbioReadSet:
         off = 0
         for prep in preps:
             seq = prep["seq"]
-            for q, centers in prep["jobs"]:
-                all_jobs.append((q, [c + off for c in centers]))
+            for q, centers, *extra in prep["jobs"]:
+                all_jobs.append((q, [c + off for c in centers], *extra))
                 extents.append((off, len(seq)))
             counts.append(len(prep["jobs"]))
             bufs.append(seq)

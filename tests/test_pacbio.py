@@ -154,6 +154,7 @@ def test_forward_batch_chunked_device_route(tmp_path, monkeypatch):
     monkeypatch.setenv("GAML_PB_DEVICE_MIN_CELLS", "0")
     monkeypatch.setenv("GAML_DEV_EAGER", "1")
     monkeypatch.setenv("GAML_PB_CHUNK", "1")  # rounds up to LANES=128
+    monkeypatch.setenv("GAML_PB_RESIDENT", "0")  # dense-staging route
 
     pos_dev, tl_dev = rs_dev.get_read_probabilities(gr, walk)
     assert calls, "device route never dispatched"
@@ -178,6 +179,99 @@ def test_forward_batch_chunked_device_route(tmp_path, monkeypatch):
             assert lp_d == pytest.approx(lp_n, rel=1e-4, abs=1e-3)
 
 
+def test_forward_batch_resident_route_matches_native(tmp_path, monkeypatch):
+    """The resident-read device route (ops.forward_device: read rows
+    live on the chip, dispatches ship 2-bit band steps + per-job
+    metadata, all other staging derived on device) must reproduce the
+    native route's positions/logprobs through the REAL staging + pallas
+    kernel (interpret mode), including the chunked multi-dispatch and
+    the prewarm router marking."""
+    from gaml_tpu.utils import warmup
+
+    rng = np.random.default_rng(77)
+    gr, seqs = make_linear_graph(rng, [800, 120, 900])
+    rs_nat, _ = make_pb_readset(tmp_path, gr, seqs, np.random.default_rng(5),
+                                n_reads=60, rlen=300, err=0.08, name="pbr_n")
+    rs_dev, _ = make_pb_readset(tmp_path, gr, seqs, np.random.default_rng(5),
+                                n_reads=60, rlen=300, err=0.08, name="pbr_d")
+    rs_nat.forward_width = 128
+    rs_dev.forward_width = 128
+    walk = [0, 2, 4]
+    pos_nat, tl_nat = rs_nat.get_read_probabilities(gr, walk)
+
+    monkeypatch.setenv("GAML_PB_FORCE_DEVICE", "1")
+    monkeypatch.setenv("GAML_PB_DEVICE_MIN_CELLS", "0")
+    monkeypatch.setenv("GAML_DEV_EAGER", "1")
+    monkeypatch.setenv("GAML_PB_CHUNK", "1")  # rounds up to 128
+    monkeypatch.setenv("GAML_PALLAS_INTERPRET", "1")
+
+    rs_dev.prewarm_device()
+    rmax_cls = rs_dev._dev_rmax_class
+    assert warmup._STATE.get(("pb_forward", 128, rmax_cls)) is True
+    eng = getattr(rs_dev, "_fwd_engine", None)
+    assert eng is not None and eng.rmax_cls == rmax_cls
+
+    pos_dev, tl_dev = rs_dev.get_read_probabilities(gr, walk)
+    assert rs_dev.dp_cells.get("pallas", 0) > 0
+    assert not rs_dev.dp_cells.get("native")
+    assert rs_dev._fwd_engine is eng  # resident matrices uploaded once
+
+    assert tl_dev == tl_nat
+    for p_n, p_d in zip(pos_nat, pos_dev):
+        assert len(p_n) == len(p_d)
+        for (sp_n, lp_n), (sp_d, lp_d) in zip(p_n, p_d):
+            assert sp_n == sp_d
+            assert lp_d == pytest.approx(lp_n, rel=1e-4, abs=1e-3)
+
+
+def test_resident_staging_bit_equal_dense(monkeypatch):
+    """Unit parity: the engine's on-device staging derivations feed the
+    kernel the SAME arrays the dense host prestaging ships — outputs are
+    bit-identical between ops.forward_device and banded_forward_pallas
+    on random jobs (interpret mode)."""
+    import jax.numpy as jnp
+
+    from gaml_tpu.core import dna
+    from gaml_tpu.ops.forward_device import ForwardDeviceEngine
+    from gaml_tpu.ops.forward_pallas import banded_forward_pallas
+
+    monkeypatch.setenv("GAML_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(3)
+    rmax_cls = 128
+    seq = rng.integers(0, 4, 700).astype(np.uint8)
+    n_reads, c = 10, 128
+    read_seqs = [rng.integers(0, 5, rng.integers(60, rmax_cls + 1))
+                 .astype(np.uint8) for _ in range(n_reads)]
+    rid = rng.integers(0, n_reads, c).astype(np.int32)
+    strand = rng.integers(0, 2, c).astype(np.uint8)
+    rlens = np.array([len(read_seqs[r]) for r in rid], np.int32)
+    centers = np.zeros((c, rmax_cls + 1), np.int32)
+    for i in range(c):
+        p = int(rng.integers(0, 300))
+        steps = rng.integers(0, 3, rmax_cls)
+        centers[i] = np.clip(p + np.concatenate([[0], np.cumsum(steps)]),
+                             0, len(seq))
+    gstarts = rng.integers(0, 50, c).astype(np.int32)
+    glens = np.minimum(len(seq) - gstarts,
+                       rng.integers(300, 650, c)).astype(np.int32)
+    lm, lmm = float(np.log(0.9)), float(np.log(0.03))
+
+    reads_dense = np.full((c, rmax_cls), 6, np.uint8)
+    for i in range(c):
+        q = read_seqs[rid[i]] if strand[i] == 0 else \
+            dna.revcomp(read_seqs[rid[i]])
+        reads_dense[i, :len(q)] = q
+    want = banded_forward_pallas(seq, reads_dense, rlens, centers,
+                                 gstarts, glens, lm, lmm, rmax_cls,
+                                 interpret=True)
+
+    eng = ForwardDeviceEngine(read_seqs, rmax_cls)
+    got = np.asarray(eng.dispatch(eng.prepare_seq(seq), rid, strand,
+                                  rlens, centers, gstarts, glens,
+                                  lm, lmm))[:c]
+    assert np.array_equal(got, np.asarray(want)[:c])
+
+
 def test_prewarm_device_marks_router_ready(tmp_path, monkeypatch):
     """prewarm_device dispatches exactly one full dummy chunk eagerly,
     marks the warm-up router's (chunk, rmax-class) key ready, restores
@@ -200,6 +294,7 @@ def test_prewarm_device_marks_router_ready(tmp_path, monkeypatch):
 
     monkeypatch.setattr(fp, "banded_forward_pallas", fake_pallas)
     monkeypatch.setenv("GAML_PB_CHUNK", "1")  # rounds up to 128
+    monkeypatch.setenv("GAML_PB_RESIDENT", "0")  # dense-staging route
 
     # CPU platform, no force flag: no-op
     monkeypatch.delenv("GAML_PB_FORCE_DEVICE", raising=False)
