@@ -118,6 +118,23 @@ def main():
           f"{ {k: int(v) for k, v in cells.items()} } "
           f"(device share {100.0 * onchip / total:.1f}%)", flush=True)
 
+    # assembly-quality vs the truth genome (bounds what any f32
+    # device-route accept flip did to the final assembly — the
+    # PARITY.md divergence row's enforcement surface)
+    from gaml_tpu.core.io import output_paths_to_file
+
+    output_paths_to_file(best, gr, 47, settings.threshold,
+                         f"{out_dir}/final")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from asm_quality import assembly_quality
+
+    q = assembly_quality(dna.decode_seq(genome), f"{out_dir}/final.fasta")
+    print(f"asm quality vs truth: contigs={q['n_contigs']} "
+          f"N50={q['n50']} NG50={q['ng50']} "
+          f"kmer_recall={q['kmer_recall']} kmer_junk={q['kmer_junk']}",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

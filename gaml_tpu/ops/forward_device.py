@@ -182,14 +182,35 @@ class ForwardDeviceEngine:
         self.fwd_words = jax.device_put(jnp.asarray(fwd))
         self.rc_words = jax.device_put(jnp.asarray(rc))
 
+    @staticmethod
+    def seq_bucket(seq_len: int) -> int:
+        """The padded char capacity a sequence lands in — part of the
+        stage executable's shape key, so callers gate cold buckets
+        through the warm-up router.  Buckets are COARSE (32 K chars, x4)
+        to keep the executable count at 2-3 for a whole run: the extra
+        upload bytes of a generous bucket (<= 32 KB through the tunnel's
+        per-call latency floor) cost far less than a per-bucket ~35 s
+        cold XLA compile on the anneal path."""
+        b = 32768
+        while b < seq_len + 2:
+            b *= 4
+        return b
+
+    def pack_seq(self, seq: np.ndarray) -> np.ndarray:
+        """Host-packed walk-sequence pair buffer (padded to its bucket).
+        Single-chunk batches pass this numpy array straight to dispatch
+        (the transfer rides the dispatch's argument upload — no extra
+        tunnel round trip); multi-chunk batches upload it once via
+        prepare_seq."""
+        return pack_seq_pairs(np.asarray(seq),
+                              self.seq_bucket(len(seq)))
+
     def prepare_seq(self, seq: np.ndarray):
-        """Pack + upload the walk-sequence pair buffer; callers do this
-        ONCE per batch and pass the returned device array to every chunk
-        dispatch of that batch."""
+        """Pack + upload the pair buffer once; multi-chunk callers pass
+        the returned device array to every chunk dispatch of the batch."""
         import jax.numpy as jnp
 
-        s_pad = _bucket_pow2(len(seq) + 2, 4096)
-        return jnp.asarray(pack_seq_pairs(np.asarray(seq), s_pad))
+        return jnp.asarray(self.pack_seq(seq))
 
     def dispatch(self, seq_pairs, rid, strand, rlens, centers, gstarts,
                  glens, log_match: float, log_mismatch: float):

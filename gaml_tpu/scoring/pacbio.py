@@ -269,12 +269,27 @@ class PacbioReadSet:
         r0 = self.read_seq[ridx]
         centers = list(range(len(r0) + 1))
         seq = np.tile(r0, 2)[:len(r0) + 256]
+        # resident route: the stage executable is keyed by the walk
+        # buffer's coarse bucket too — warm the whole ladder up to
+        # GAML_PB_PREWARM_SMAX so anneal batches never pay a cold compile
+        warm_seqs = [seq]
+        smax = int(os.environ.get("GAML_PB_PREWARM_SMAX", "131072"))
+        bkt = 32768 * 4
+        while bkt <= smax:
+            warm_seqs.append(np.zeros(bkt - 2, dtype=np.uint8))
+            bkt *= 4
         saved = {k: os.environ.get(k)
                  for k in ("GAML_DEV_EAGER", "GAML_PB_DEVICE_MIN_CELLS")}
         os.environ["GAML_DEV_EAGER"] = "1"
         os.environ["GAML_PB_DEVICE_MIN_CELLS"] = "0"
         try:
-            self._forward_batch(seq, [(r0, centers, ridx, 0)] * chunk)
+            jobs = [(r0, centers, ridx, 0)] * chunk
+            self._forward_batch(seq, jobs)
+            if getattr(self, "_fwd_engine", None) is not None:
+                for sq in warm_seqs[1:]:
+                    self._forward_batch(sq, jobs)
+            else:  # dense route: one seq-independent executable
+                warm_seqs = warm_seqs[:1]
         finally:
             for k, v in saved.items():
                 if v is None:
@@ -285,8 +300,13 @@ class PacbioReadSet:
         if prof and prof.get("pallas"):
             from ..utils.warmup import mark_ready
 
-            mark_ready(("pb_forward", chunk,
-                        getattr(self, "_dev_rmax_class", 0)))
+            base = ("pb_forward", chunk, getattr(self, "_dev_rmax_class", 0))
+            eng = getattr(self, "_fwd_engine", None)
+            if eng is None:  # dense route: one executable, one key
+                mark_ready(base)
+            else:            # resident route: keys carry the bucket
+                for sq in warm_seqs:
+                    mark_ready(base + (eng.seq_bucket(len(sq)),))
         if prof is not None:
             prof.clear()
 
@@ -362,12 +382,12 @@ class PacbioReadSet:
         if __import__("os").environ.get("GAML_PB_DEBUG") == "1":
             print(f"[pb.forward] jobs={len(jobs)} rmax={rmax} "
                   f"seq={len(seq)} cells={cells/1e6:.2f}M", flush=True)
-        # The measured device crossover (~3M cells through a tunneled
-        # chip, BENCHMARKS.md long-read table) is the library default, not
-        # a CLI-only setting: library callers get the device route at the
-        # same threshold the CLI wires.
+        # The measured device crossover is the library default, not a
+        # CLI-only setting: with resident-read staging the crossover
+        # moved from ~3M to ~1.5M cells (478.7 vs 424.8 moves/s at the
+        # pinned 100 kb scale, BENCHMARKS.md long-read table).
         min_cells = int(__import__("os").environ.get(
-            "GAML_PB_DEVICE_MIN_CELLS", 3_000_000))
+            "GAML_PB_DEVICE_MIN_CELLS", 1_500_000))
         if cells < min_cells:
             from ..native import get_lib
 
@@ -481,7 +501,7 @@ class PacbioReadSet:
                     # a default-argument build would copy several MB on
                     # every routed call even once the executable is warm
                     if engine is not None:
-                        sp = engine.prepare_seq(seq)
+                        sp = engine.pack_seq(seq)
                         rid_c, str_c, rlens_c, centers_c, gst_c, gl_c = \
                             chunk_meta(0, min(chunk, b))
                         engine.dispatch(sp, rid_c, str_c, rlens_c,
@@ -492,7 +512,13 @@ class PacbioReadSet:
                                           args[3], args[4], lm, lmm,
                                           rmax_cls)
 
-                if not device_ready(("pb_forward", chunk, rmax_cls), warm):
+                # the resident route's stage executable is additionally
+                # keyed by the walk buffer's pow2 bucket: a cold bucket
+                # serves native while a background thread compiles it
+                warm_key = ("pb_forward", chunk, rmax_cls)
+                if engine is not None:
+                    warm_key += (engine.seq_bucket(len(seq)),)
+                if not device_ready(warm_key, warm):
                     from ..native import banded_forward_host
 
                     out = banded_forward_host(
@@ -503,8 +529,12 @@ class PacbioReadSet:
 
             try:
                 handles = []
-                seq_pairs = engine.prepare_seq(seq) if engine is not None \
-                    else None
+                if engine is None:
+                    seq_pairs = None
+                elif b > chunk:  # multi-chunk: upload once, reuse
+                    seq_pairs = engine.prepare_seq(seq)
+                else:            # one chunk: ride the dispatch upload
+                    seq_pairs = engine.pack_seq(seq)
                 for s in range(0, b, chunk):
                     e = min(s + chunk, b)
                     if engine is not None:

@@ -207,9 +207,11 @@ def test_forward_batch_resident_route_matches_native(tmp_path, monkeypatch):
 
     rs_dev.prewarm_device()
     rmax_cls = rs_dev._dev_rmax_class
-    assert warmup._STATE.get(("pb_forward", 128, rmax_cls)) is True
     eng = getattr(rs_dev, "_fwd_engine", None)
     assert eng is not None and eng.rmax_cls == rmax_cls
+    warm_keys = [k for k in warmup._STATE
+                 if k[:3] == ("pb_forward", 128, rmax_cls)]
+    assert warm_keys and warmup._STATE[warm_keys[0]] is True
 
     pos_dev, tl_dev = rs_dev.get_read_probabilities(gr, walk)
     assert rs_dev.dp_cells.get("pallas", 0) > 0
@@ -270,6 +272,71 @@ def test_resident_staging_bit_equal_dense(monkeypatch):
                                   rlens, centers, gstarts, glens,
                                   lm, lmm))[:c]
     assert np.array_equal(got, np.asarray(want)[:c])
+
+
+def test_f32_route_anneal_quality_bound(tmp_path, monkeypatch):
+    """Enforce the PARITY.md device-route divergence bound at anneal
+    scale: the same seeded anneal run on the exact f64 native forward
+    kernel and on the f32 jnp kernel (the device route's accumulation
+    class — ~1e-5 per-batch drift can flip accept decisions) must reach
+    quality-equivalent final assemblies and near-identical best scores."""
+    import sys as sys_mod
+
+    from gaml_tpu.core.io import output_paths_to_file
+    from gaml_tpu.optimize.anneal import Optimizer
+    from gaml_tpu.optimize.settings import AssemblySettings
+    from gaml_tpu.scoring.calculator import ProbCalculator
+    from gaml_tpu.scoring.config import SingleReadConfig
+
+    rng = np.random.default_rng(8)
+    gr, seqs = make_linear_graph(
+        rng, [2200, 150, 2500, 120, 2300, 200, 2400])
+    genome = "".join(seqs)
+
+    def run(tag, f32):
+        rs, _ = make_pb_readset(tmp_path, gr, seqs,
+                                np.random.default_rng(4), n_reads=30,
+                                rlen=1000, err=0.08, name=f"f32b_{tag}")
+        cfg = SingleReadConfig(penalty_constant=0.0001, step=100)
+        pc = ProbCalculator([], [], [(cfg, rs)], gr)
+        settings = AssemblySettings(
+            threshold=500, max_iterations=120, seed=47,
+            output_prefix=str(tmp_path / f"o{tag}"))
+        opt = Optimizer(gr, pc, settings, advice_pacbio=[rs],
+                        longest_read=1000, log=lambda *a: None)
+        opt.prepare()
+        if f32:
+            import gaml_tpu.native as native
+
+            monkeypatch.setattr(native, "get_lib", lambda: None)
+            monkeypatch.setenv("GAML_PB_DEVICE_MIN_CELLS", "0")
+        paths = [[i] for i in range(0, gr.num_nodes, 2)
+                 if gr.node_len(i) > 500]
+        best = opt.run(paths, write_outputs=False)
+        assert (rs.dp_cells.get("jnp", 0) > 0) == f32
+        output_paths_to_file(best, gr, 47, 500,
+                             str(tmp_path / f"fin{tag}"))
+        sys_mod.path.insert(0, str(REPO_TOOLS))
+        from asm_quality import assembly_quality
+
+        q = assembly_quality(genome, str(tmp_path / f"fin{tag}.fasta"))
+        return float(opt.best_prob), q
+
+    s64, q64 = run("64", False)
+    s32, q32 = run("32", True)
+    # f32 accept flips may alter the trajectory, but the final assembly
+    # must be equivalent and the best score within the drift band
+    assert abs(s32 - s64) < 0.05, (s32, s64)
+    assert abs(q32["kmer_recall"] - q64["kmer_recall"]) <= 0.005, (q32, q64)
+    assert q32["kmer_junk"] <= q64["kmer_junk"] + 0.001
+    assert q64["ng50"] == 0 or \
+        0.95 <= q32["ng50"] / q64["ng50"] <= 1.06, (q32, q64)
+
+
+import os as _os_p  # noqa: E402
+
+REPO_TOOLS = _os_p.path.join(_os_p.path.dirname(_os_p.path.dirname(
+    _os_p.path.abspath(__file__))), "tools")
 
 
 def test_prewarm_device_marks_router_ready(tmp_path, monkeypatch):
