@@ -267,6 +267,23 @@ def stage_paired_rows(graph, paths, read_set1, read_set2,
     return buckets, walk_events, total_len
 
 
+def pack_bucket(bucket) -> np.ndarray:
+    """One-transfer bucket layout: [rows, 6K + 4] int32 — the six
+    [rows, K] blocks (pos1, ed1, or1, pos2, ed2, or2) then the
+    rid/len1/len2/mask columns (mask as 0/1).  The reads axis stays the
+    leading dimension, so the packed array shards over the mesh "reads"
+    axis exactly like the ten arrays it replaces; multiprocess callers
+    pack their local row block and build one global array from it."""
+    return np.concatenate(
+        [np.asarray(bucket[k], dtype=np.int32)
+         for k in ("pos1", "ed1", "or1", "pos2", "ed2", "or2")]
+        + [np.asarray(bucket["rid"], dtype=np.int32)[:, None],
+           np.asarray(bucket["len1"], dtype=np.int32)[:, None],
+           np.asarray(bucket["len2"], dtype=np.int32)[:, None],
+           np.asarray(bucket["mask"]).astype(np.int32)[:, None]],
+        axis=1)
+
+
 class ShardedPairedScorer:
     """Pair products + floored reduction on a device mesh ("reads" axis).
 
@@ -357,15 +374,29 @@ class ShardedPairedScorer:
                      (f2min.astype(jnp.uint8) << 3))
             return local, flags
 
+        def unpack(packed):
+            # single-transfer bucket form: [rows, 6K + 4] int32 with the
+            # six [rows, K] position/edit/orientation blocks then
+            # rid/len1/len2/mask columns (mask as 0/1).  One host->device
+            # transfer per bucket instead of ten — on tunneled chips each
+            # small transfer costs a full RPC, which dominated the
+            # per-move incremental latency (tools/mesh_smoke.py)
+            kk = (packed.shape[1] - 4) // 6
+            parts = [packed[:, i * kk:(i + 1) * kk] for i in range(6)]
+            rid = packed[:, 6 * kk]
+            len1 = packed[:, 6 * kk + 1]
+            len2 = packed[:, 6 * kk + 2]
+            mask = packed[:, 6 * kk + 3] == 1
+            return parts + [rid, len1, len2, mask]
+
         if apply:
-            def shard_apply(probs, sign, *args):
-                out = shard_fn(*args)
+            def shard_apply(probs, sign, packed, *args):
+                out = shard_fn(*unpack(packed), *args)
                 local = out[0] if collect_events else out
                 newp = probs + sign * local
                 return (newp, out[1]) if collect_events else newp
 
-            in_specs = tuple([P("reads"), P()] + [P("reads")] * 10
-                             + [P()] * 2)
+            in_specs = tuple([P("reads"), P(), P("reads")] + [P()] * 2)
             out_specs = (P("reads"), P("reads")) if collect_events \
                 else P("reads")
             return jax.jit(jax.shard_map(shard_apply, mesh=self.mesh,
@@ -384,7 +415,9 @@ class ShardedPairedScorer:
     def bucket_fn(self, shape, n_pad: int, apply: bool = False):
         """The jitted shard_map for one bucket shape — multiprocess
         callers build global mesh arrays themselves and invoke this
-        directly (numpy inputs are only valid single-process)."""
+        directly (numpy inputs are only valid single-process).  The
+        apply=True form takes (probs, sign, packed_bucket, mppb, mps)
+        with the bucket in pack_bucket's single-array layout."""
         key = (tuple(shape), n_pad, apply)
         fn = self._bucket_fns.get(key)
         if fn is None:
@@ -395,16 +428,15 @@ class ShardedPairedScorer:
                      min_prob_per_base: float, min_prob_start: float):
         """Fused incremental delta: probs += sign * (this bucket's
         psum_scatter'd per-read pair totals).  Returns (new_probs,
-        event_flags-or-None); probs' buffer is donated."""
+        event_flags-or-None); probs' buffer is donated.  The bucket
+        ships as ONE packed array (pack_bucket)."""
         import jax.numpy as jnp
 
         fn = self.bucket_fn(bucket["pos1"].shape, n_pad, apply=True)
-        args = [jnp.asarray(bucket[k]) for k in
-                ("pos1", "ed1", "or1", "pos2", "ed2", "or2", "rid",
-                 "len1", "len2", "mask")]
-        args += [jnp.asarray(min_prob_per_base, dtype=self.dtype),
-                 jnp.asarray(min_prob_start, dtype=self.dtype)]
-        out = fn(probs, jnp.asarray(sign, dtype=self.dtype), *args)
+        out = fn(probs, jnp.asarray(sign, dtype=self.dtype),
+                 jnp.asarray(pack_bucket(bucket)),
+                 jnp.asarray(min_prob_per_base, dtype=self.dtype),
+                 jnp.asarray(min_prob_start, dtype=self.dtype))
         if self.collect_events:
             return out
         return out, None
@@ -653,15 +685,25 @@ def calc_score_for_paths_incremental_sharded(
         for walk in group:
             buckets, walk_events, _wl = stage_paired_rows(
                 graph, [list(walk)], read_set1, read_set2, row_align=nr)
-            ev_pos: List[np.ndarray] = []
+            # dispatch every bucket's fused delta first (async), then
+            # fetch ALL event-flag arrays in one blocking call — a
+            # per-bucket fetch costs a full device round trip each on
+            # tunneled chips (~21 ms), serializing the move
+            flag_handles = []
             for b in buckets:
                 device.probs, flags_dev = scorer.bucket_apply(
                     device.probs, sign, b, device.n_pad,
                     min_prob_per_base, min_prob_start)
                 if flags_dev is not None:
-                    ev_pos.append(_flag_event_positions(
-                        b, np.asarray(flags_dev), use_all_to_cov))
+                    flag_handles.append((b, flags_dev))
             if scorer.collect_events:
+                import jax
+
+                fetched = jax.device_get([f for _b, f in flag_handles])
+                ev_pos: List[np.ndarray] = [
+                    _flag_event_positions(b, np.asarray(fl),
+                                          use_all_to_cov)
+                    for (b, _h), fl in zip(flag_handles, fetched)]
                 ev = list(walk_events[0])
                 if ev_pos:
                     for p in np.unique(np.concatenate(ev_pos)).tolist():

@@ -156,22 +156,22 @@ def main():
     hi2b = (proc + 1) * n_local * blk_ps
     apply_fn = scorer.bucket_fn((mc.PAIRED_BLK, mc.PAIRED_K), n_pad,
                                 apply=True)
+    from gaml_tpu.parallel.paired_sharded import pack_bucket
 
-    def blk_args(which):
+    def blk_packed(which):
+        # pack the LOCAL row block, then lift to one global mesh array
         b = mc.paired_inc_block(which, lo2b, hi2b)
-        return [jax.make_array_from_process_local_data(shp, b[k])
-                for k in ("pos1", "ed1", "or1", "pos2", "ed2", "or2",
-                          "rid", "len1", "len2", "mask")]
+        return jax.make_array_from_process_local_data(shp, pack_bucket(b))
 
     mppb = jnp.asarray(-0.7, dtype=np_dt)
     mps = jnp.asarray(-10.0, dtype=np_dt)
     probs = jax.make_array_from_process_local_data(
         shp, np.zeros(n_pad // mc.N_ROWS * n_local, dtype=np_dt))
-    args_a = blk_args("A")
-    args_b = blk_args("B")
-    for sign, bargs in ((1.0, args_a), (1.0, args_b), (-1.0, args_b)):
-        probs = apply_fn(probs, jnp.asarray(sign, dtype=np_dt),
-                         *(bargs + [mppb, mps]))
+    args_a = blk_packed("A")
+    args_b = blk_packed("B")
+    for sign, packed in ((1.0, args_a), (1.0, args_b), (-1.0, args_b)):
+        probs = apply_fn(probs, jnp.asarray(sign, dtype=np_dt), packed,
+                         mppb, mps)
     incs, incz = scorer.reduce_fn(n_pad, mc.PAIRED_N_READS)(
         probs, lens_g, mask_g, jnp.asarray(1000.0, dtype=np_dt), mppb, mps)
 
