@@ -314,10 +314,24 @@ class PacbioReadSet:
         """The device forward engine with this read set's RESIDENT packed
         read rows (ops.forward_device); rebuilt only if the rmax class
         grows (a new longest read after ingestion — cannot happen in
-        normal use)."""
+        normal use).  Returns None — dense staging — when the resident
+        matrices would exceed GAML_PB_RESIDENT_MAX bytes (default 4 GB;
+        both strands at 4 bits/base)."""
+        import os
+
         eng = getattr(self, "_fwd_engine", None)
         if eng is not None and eng.rmax_cls == rmax_cls:
             return eng
+        n_pad = max(256, 1 << (max(self.reads_num, 1) - 1).bit_length())
+        resident_bytes = 2 * n_pad * (rmax_cls // 2)
+        cap = int(os.environ.get("GAML_PB_RESIDENT_MAX", 4_000_000_000))
+        if resident_bytes > cap:
+            import sys
+
+            print(f"[pb.forward] resident read matrices would be "
+                  f"{resident_bytes/1e9:.1f} GB > cap {cap/1e9:.1f} GB; "
+                  f"using dense staging", file=sys.stderr, flush=True)
+            return None
         from ..ops.forward_device import ForwardDeviceEngine
 
         eng = ForwardDeviceEngine(self.read_seq, rmax_cls)
