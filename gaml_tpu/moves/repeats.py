@@ -284,15 +284,24 @@ def fix_rep_for_node(node: int, paths: List[Path], threshold: int, gr,
             reverse_path(seg)
             before.append(seg)
 
-    best_opts = None
-    best_score = -1e6
-    for opts in permutations(range(len(after))):
+    all_opts = list(permutations(range(len(after))))
+    cands = []
+    for opts in all_opts:
         paths3 = [list(p) for p in paths2]
         for i in range(min(len(opts), len(before))):
             pp = list(before[i]) + [node] + list(after[opts[i]])
             if len(pp) > 1:
                 paths3.append(pp)
-        score = prob_calc.score(paths3)
+        cands.append(paths3)
+    # every pairing is evaluated, so the batched union prefill + scoring
+    # is trajectory-identical to the sequential loop (score_batch
+    # contract) with one aligner dispatch for the whole enumeration
+    score_batch = getattr(prob_calc, "score_batch", None)
+    scores = score_batch(cands) if score_batch is not None else \
+        [prob_calc.score(c) for c in cands]
+    best_opts = None
+    best_score = -1e6
+    for opts, score in zip(all_opts, scores):
         if score > best_score:
             best_score = score
             best_opts = opts
