@@ -147,10 +147,17 @@ def main():
     trace_dir = os.environ.get("GAML_JAX_TRACE", "")
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
-    t0 = time.time()
-    handles = [rescore_async()[0] for _ in range(iters)]
-    _ = [float(h) for h in handles]
-    t_pipe = (time.time() - t0) / iters
+
+    def pipelined_window():
+        t0 = time.time()
+        handles = [rescore_async()[0] for _ in range(iters)]
+        _ = [float(h) for h in handles]
+        return (time.time() - t0) / iters
+
+    # the shared tunnel's weather swings per-call latency >2x between
+    # runs; two windows and the better one give the reproducible floor
+    # (both sides of the ratio get the same treatment below)
+    t_pipe = min(pipelined_window() for _ in range(2))
     if trace_dir:
         jax.profiler.stop_trace()
     reads_per_s = n_reads / t_pipe
@@ -166,15 +173,19 @@ def main():
     # nothing is hidden, but vs_baseline tracks the reference bar.
     from gaml_tpu.native import align_windows_batch
 
-    t0 = time.time()
-    if SMALL:
-        pos_b, ed_b, rid_b, or_b = align_window(bundle, genome, 0)
-        host_dt = time.time() - t0
-    else:
+    def serial_window():
+        t0 = time.time()
+        if SMALL:
+            align_window(bundle, genome, 0)
+            return time.time() - t0
         frac = 8
         sub = genome[:genome_len // frac]
-        pos_b, ed_b, rid_b, or_b = align_window(bundle, sub, 0)
-        host_dt = (time.time() - t0) * frac
+        align_window(bundle, sub, 0)
+        return (time.time() - t0) * frac
+
+    # best-of-2 for the host bar too (shared-box load swings it ~3x);
+    # a faster host bar is the CONSERVATIVE direction for vs_baseline
+    host_dt = min(serial_window() for _ in range(2))
     host_serial_rps = n_reads / host_dt if host_dt > 0 else float("inf")
 
     # parallel: split the genome into per-core windows (overlapped by a
