@@ -319,6 +319,9 @@ def dp_rows_pallas(read_t, gwin_t, rlen, glen, rmax: int,
 # --------------------------------------------------------------------------
 
 
+_LAYOUTS = {}
+
+
 def block_layout(n: int) -> np.ndarray:
     """Slot permutation placing a SORTED candidate order into the (8, m)
     tile layout so that each grid program's 8x512 block holds a
@@ -327,11 +330,18 @@ def block_layout(n: int) -> np.ndarray:
     Returns lay [n] with lay[slot] = sorted-position; slot j maps to
     sublane j // m, lane j % m of the reshaped arrays, and grid block b
     covers lanes [b*512, (b+1)*512) of every sublane — which under this
-    layout is exactly sorted positions [b*4096, (b+1)*4096)."""
+    layout is exactly sorted positions [b*4096, (b+1)*4096).  Cached per
+    n (it is a pure function recomputed on every chunk otherwise)."""
+    lay = _LAYOUTS.get(n)
+    if lay is not None:
+        return lay
     assert n % BLOCK_CANDS == 0
     mb = BLOCK_CANDS // 8
-    return (np.arange(n).reshape(n // BLOCK_CANDS, 8, mb)
-            .transpose(1, 0, 2).reshape(n))
+    lay = (np.arange(n).reshape(n // BLOCK_CANDS, 8, mb)
+           .transpose(1, 0, 2).reshape(n))
+    lay.setflags(write=False)
+    _LAYOUTS[n] = lay
+    return lay
 
 
 def block_bounds(vals_sorted: np.ndarray) -> np.ndarray:
