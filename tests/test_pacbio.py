@@ -274,6 +274,21 @@ def test_resident_staging_bit_equal_dense(monkeypatch):
     assert np.array_equal(got, np.asarray(want)[:c])
 
 
+def test_resident_cap_falls_back_to_dense(tmp_path, monkeypatch):
+    """When the resident packed read matrices would exceed
+    GAML_PB_RESIDENT_MAX, _ensure_fwd_engine returns None and the device
+    route keeps working on dense staging."""
+    rng = np.random.default_rng(5)
+    gr, seqs = make_linear_graph(rng, [500, 80, 450])
+    rs, _ = make_pb_readset(tmp_path, gr, seqs, rng, n_reads=4, rlen=200,
+                            name="cap")
+    monkeypatch.setenv("GAML_PB_RESIDENT_MAX", "0")
+    assert rs._ensure_fwd_engine(256) is None
+    monkeypatch.delenv("GAML_PB_RESIDENT_MAX")
+    eng = rs._ensure_fwd_engine(256)
+    assert eng is not None and eng.rmax_cls == 256
+
+
 def test_f32_route_anneal_quality_bound(tmp_path, monkeypatch):
     """Enforce the PARITY.md device-route divergence bound at anneal
     scale: the same seeded anneal run on the exact f64 native forward
