@@ -286,20 +286,24 @@ class DeviceCandGen:
         return packed2, fixpos, seg_base, seg_len, g_total
 
     # --------------------------------------------------------------- query
-    def query(self, seqs: List[np.ndarray], cap: int):
+    def query(self, seqs: List[np.ndarray], cap: int,
+              return_layout: bool = False):
         """Dispatch candidate generation for a window batch; returns
         device arrays (codes u8 [s_pad], rid, g0, r0, orient, seg [cap],
-        n_total scalar) — fetch n_total to detect cap overflow."""
+        n_total scalar) — fetch n_total to detect cap overflow.  With
+        ``return_layout`` also returns the host (seg_base, seg_len)
+        arrays (per-candidate g0 is in local segment coordinates)."""
         import jax.numpy as jnp
 
         packed2, fixpos, seg_base, seg_len, g_total = \
             self.pack_windows(seqs)
-        return _candgen(
+        out = _candgen(
             jnp.asarray(packed2), jnp.asarray(fixpos),
             jnp.asarray(seg_base), jnp.asarray(seg_len),
             jnp.int32(len(seqs)), jnp.int32(g_total),
             self.sf, self.off, self.rids, self.seed2, self.row_of_dev,
             read_len=self.read_len, cap=cap)
+        return out + (seg_base, seg_len) if return_layout else out
 
     def query_host(self, seqs: List[np.ndarray], cap: int = 0):
         """Blocking host-side view for tests/debug: returns a list of

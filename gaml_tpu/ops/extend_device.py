@@ -121,6 +121,18 @@ def _get_fused(L: int, rmax: int, n_pad: int, s_pad: int, use_pallas: bool,
         return fn
 
     import jax
+
+    fused = make_fused_body(L, rmax, use_pallas, sorted_mode,
+                            interp=key[-1])
+    fn = _FUSED_FNS[key] = jax.jit(fused)
+    return fn
+
+
+def make_fused_body(L: int, rmax: int, use_pallas: bool,
+                    sorted_mode: bool = False, interp: bool = False):
+    """Unjitted fused stage+DP body (shape-parametric: n_pad/s_pad come
+    from the argument shapes).  Exposed so larger jits — the full
+    device rescore in ops.rescore_device — can inline it."""
     import jax.numpy as jnp
 
     def pack_words(bytes2d):
@@ -163,10 +175,10 @@ def _get_fused(L: int, rmax: int, n_pad: int, s_pad: int, use_pallas: bool,
     wpad_r = rmax // BPW + 1
     wpad_g = wlen // BPW + 1
 
-    interp = os.environ.get("GAML_PALLAS_INTERPRET") == "1"
-
     def fused(fwd_words, rc_words, seq_buf, base, glen_c, g0, r0, rows,
               orient, nrows_f=None, nrows_b=None):
+        n_pad = g0.shape[0]
+        s_pad = seq_buf.shape[0]
         # r0/orient may arrive as uint8 (compact transfer; r0 < L <= 255
         # buckets) — widen before any arithmetic to avoid u8 overflow
         r0 = r0.astype(jnp.int32)
@@ -271,8 +283,7 @@ def _get_fused(L: int, rmax: int, n_pad: int, s_pad: int, use_pallas: bool,
             | (jnp.clip(errs, 0, 31) << 1) | ok.astype(jnp.int32)
         return ok, errs, begin, packed
 
-    fn = _FUSED_FNS[key] = jax.jit(fused)
-    return fn
+    return fused
 
 
 def unpack_results(packed: np.ndarray):

@@ -1,0 +1,213 @@
+"""Full single-end device rescore: window bytes in, score out.
+
+Chains the device-resident pipeline end to end with NO per-candidate
+traffic in either direction:
+
+  candgen (ops.candgen_device, graph.cc:1289-1348 semantics)
+    -> r0-sort + block layout (sorted-dynamic SWAR kernel pair)
+    -> fused staging + banded-extension DP (ops.extend_device)
+    -> first-wins (window, position, read) dedup  (graph.cc:895-897)
+    -> per-read probability segment-sum + GetTotalProb reduction
+       (graph.cc:1482-1537)
+
+A rescore ships the 2-bit-packed window buffer (~G/4 bytes) up and three
+scalars (score, zero_reads, candidate count) down.  The candidate count
+lets callers detect capacity overflow and retry with a larger bucket —
+results are unusable when n_total > cap.
+
+Dedup parity note: the reference keeps the FIRST duplicate in candidate
+emission order (set<Aligment> insert).  The block layout destroys that
+order, so instead of un-permuting, the dedup sort carries each
+candidate's emission rank as a third key — the winner of every
+(window, position, read) group is exactly the reference's.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from .candgen_device import K, DeviceCandGen, _bucket_pow2
+from .extend_device import DeviceExtender, make_fused_body
+
+INT32_BIG = 2**31 - 1
+
+_RESCORE_JIT = None
+
+
+def _rescore(*args, **kw):
+    global _RESCORE_JIT
+    if _RESCORE_JIT is None:
+        import jax
+
+        _RESCORE_JIT = jax.jit(
+            _rescore_impl,
+            static_argnames=("L", "rmax", "use_pallas", "sorted_mode",
+                             "interp"))
+    return _RESCORE_JIT(*args, **kw)
+
+
+def _rescore_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg,
+                  n_tot, seg_base, seg_len, row_of, lay, read_lens_all,
+                  n_reads, log_match, log_mismatch, total_len,
+                  min_prob_per_base, min_prob_start, L: int, rmax: int,
+                  use_pallas: bool, sorted_mode: bool, interp: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from .extend_pallas import BLOCK_CANDS
+
+    cap = rid.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    valid = iota < n_tot
+    # pad slots stage as zero-length reads against empty windows
+    # (r0 = L-K also sorts them to the tail of the r0 order)
+    r0f = jnp.where(valid, r0, L - K)
+    g0f = jnp.where(valid, g0, 0)
+    base = jnp.where(valid, seg_base[jnp.clip(seg, 0,
+                                              seg_base.shape[0] - 1)], 0)
+    glen = jnp.where(valid, seg_len[jnp.clip(seg, 0,
+                                             seg_len.shape[0] - 1)], 0)
+    rows = row_of[jnp.clip(rid, 0, row_of.shape[0] - 1)]
+
+    if sorted_mode:
+        srt = jax.lax.sort(
+            (r0f, base, glen, g0f, rows, orient, rid, iota, seg,
+             valid.astype(jnp.int32)), num_keys=1, is_stable=True)
+        r0s, bases, glens, g0s, rowss, ors, rids_s, ranks, segs, vals = srt
+        nb = cap // BLOCK_CANDS
+        rf = jnp.maximum(L - K - r0s, 0)
+        rb = jnp.where(g0s > 0, r0s, 0)
+        nrows_f = rf.reshape(nb, BLOCK_CANDS).max(1).astype(jnp.int32)
+        nrows_b = rb.reshape(nb, BLOCK_CANDS).max(1).astype(jnp.int32)
+
+        def L_(x):
+            return x[lay]
+
+        bases, glens, g0s, r0s, rowss, ors = map(
+            L_, (bases, glens, g0s, r0s, rowss, ors))
+        rids_s, ranks, segs, vals = map(L_, (rids_s, ranks, segs, vals))
+    else:
+        bases, glens, g0s, r0s, rowss, ors = base, glen, g0f, r0f, rows, \
+            orient
+        rids_s, ranks, segs = rid, iota, seg
+        vals = valid.astype(jnp.int32)
+        nrows_f = nrows_b = None
+
+    body = make_fused_body(L, rmax, use_pallas, sorted_mode, interp)
+    if sorted_mode:
+        ok, errs, begin, _pk = body(fwd_words, rc_words, codes_u8, bases,
+                                    glens, g0s, r0s, rowss, ors, nrows_f,
+                                    nrows_b)
+    else:
+        ok, errs, begin, _pk = body(fwd_words, rc_words, codes_u8, bases,
+                                    glens, g0s, r0s, rowss, ors)
+
+    good = ok & (vals == 1)
+    seg_key = jnp.where(good, segs, INT32_BIG)
+    rid_key = jnp.where(good, rids_s, INT32_BIG)
+    pos_key = jnp.where(good, begin, INT32_BIG)
+    rlen = read_lens_all[jnp.clip(rids_s, 0,
+                                  read_lens_all.shape[0] - 1)]
+    segk, ridk, posk, _rk, goods, errs_s, rlen_s = jax.lax.sort(
+        (seg_key, rid_key, pos_key, ranks, good.astype(jnp.int32),
+         errs, rlen), num_keys=4)
+    first = jnp.concatenate([
+        jnp.array([True]),
+        (segk[1:] != segk[:-1]) | (ridk[1:] != ridk[:-1])
+        | (posk[1:] != posk[:-1])])
+    keep = (goods == 1) & first
+
+    p = jnp.exp(errs_s * log_mismatch + (rlen_s - errs_s) * log_match)
+    p = jnp.where(keep, p, 0.0)
+    n_rows_pad = read_lens_all.shape[0]
+    read_probs = jax.ops.segment_sum(
+        p, jnp.where(keep, ridk, n_rows_pad),
+        num_segments=n_rows_pad + 1)[:-1]
+
+    # GetTotalProb (graph.cc:1518-1537) over the PADDED read axis: pad
+    # rows are masked out of both the floor count and the mean
+    live = jnp.arange(n_rows_pad) < n_reads
+    tl = jnp.maximum(total_len, 1)
+    probs = read_probs / (2.0 * tl)
+    thresholds = jnp.exp(min_prob_start + min_prob_per_base
+                         * read_lens_all)
+    floored = live & (probs < thresholds)
+    zero_reads = jnp.sum(floored.astype(jnp.int32))
+    probs = jnp.where(floored, thresholds, probs)
+    score = jnp.sum(jnp.where(live, jnp.log(probs), 0.0)) \
+        / jnp.maximum(n_reads, 1)
+    return score, zero_reads, read_probs
+
+
+class DeviceRescorer:
+    """Window-bytes-in, score-out rescore engine for one read set.
+
+    Combines the resident candgen index (DeviceCandGen) and the resident
+    read-code matrices (DeviceExtender).  ``rescore`` dispatches the
+    whole pipeline asynchronously and returns device handles."""
+
+    def __init__(self, bundle, read_lens_all: np.ndarray = None):
+        import jax
+        import jax.numpy as jnp
+
+        self.gen = DeviceCandGen(bundle)
+        self.ext = DeviceExtender(bundle.codes_fwd, bundle.codes_rc)
+        self.read_len = int(bundle.read_len)
+        self.n_reads = int(len(bundle.row_of))
+        if read_lens_all is None:
+            read_lens_all = np.full(self.n_reads, self.read_len, np.int32)
+        # pad the read axis to the extender's row bucket so executables
+        # are shared across read sets (shape rule, ops.extend_device)
+        n_pad = max(_bucket_pow2(self.n_reads, 1024), 1024)
+        lens = np.zeros(n_pad, dtype=np.int32)
+        lens[:self.n_reads] = read_lens_all
+        self.lens_dev = jax.device_put(jnp.asarray(lens))
+        self._lays = {}
+
+    def _lay(self, cap: int):
+        import jax
+        import jax.numpy as jnp
+
+        from .extend_pallas import block_layout
+
+        lay = self._lays.get(cap)
+        if lay is None:
+            lay = self._lays[cap] = jax.device_put(
+                jnp.asarray(block_layout(cap).astype(np.int32)))
+        return lay
+
+    def rescore(self, seqs: List[np.ndarray], cap: int, log_match: float,
+                log_mismatch: float, total_len: int,
+                min_prob_per_base: float, min_prob_start: float,
+                use_pallas: bool = None):
+        """Returns device handles (score, zero_reads, n_total).  The
+        result is valid only when int(n_total) <= cap; callers retry
+        with a doubled cap otherwise."""
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from .extend_pallas import BLOCK_CANDS
+
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform not in ("cpu",) and \
+                os.environ.get("GAML_USE_PALLAS", "1") == "1"
+        sorted_mode = bool(use_pallas) and cap % BLOCK_CANDS == 0 and \
+            os.environ.get("GAML_DEV_SORTED", "1") == "1"
+        interp = os.environ.get("GAML_PALLAS_INTERPRET") == "1"
+        codes_u8, rid, g0, r0, orient, seg, n_tot, seg_base, seg_len = \
+            self.gen.query(seqs, cap=cap, return_layout=True)
+        lay = self._lay(cap) if sorted_mode else jnp.zeros(1, jnp.int32)
+        score, zeros, _probs = _rescore(
+            self.ext.fwd_words, self.ext.rc_words, codes_u8, rid, g0, r0,
+            orient, seg, n_tot, jnp.asarray(seg_base),
+            jnp.asarray(seg_len), self.gen.row_of_dev, lay,
+            self.lens_dev, jnp.int32(self.n_reads),
+            jnp.float32(log_match), jnp.float32(log_mismatch),
+            jnp.int32(total_len), jnp.float32(min_prob_per_base),
+            jnp.float32(min_prob_start), L=self.read_len,
+            rmax=self.ext.rmax, use_pallas=bool(use_pallas),
+            sorted_mode=sorted_mode, interp=interp)
+        return score, zeros, n_tot
