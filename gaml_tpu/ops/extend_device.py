@@ -115,7 +115,8 @@ def _get_fused(L: int, rmax: int, n_pad: int, s_pad: int, use_pallas: bool,
     them: ops/score.py zeroes non-ok payloads, the aligner postprocess
     filters by ok first)."""
     key = (L, rmax, n_pad, s_pad, bool(use_pallas), bool(sorted_mode),
-           os.environ.get("GAML_PALLAS_INTERPRET") == "1")
+           os.environ.get("GAML_PALLAS_INTERPRET") == "1",
+           os.environ.get("GAML_SWAR_BACKWARD", "1"))
     fn = _FUSED_FNS.get(key)
     if fn is not None:
         return fn
@@ -235,16 +236,24 @@ def make_fused_body(L: int, rmax: int, use_pallas: bool,
 
         if use_pallas and sorted_mode:
             from .extend_pallas import (dp_rows_pallas_reg_dyn,
+                                        swar_cost_accept_pallas,
                                         swar_cost_pallas)
 
             # sorted-dynamic production path: forward cost via the SWAR
-            # kernel, backward cost+accept-offset via the dynamic-rows
-            # register kernel; each block loops only to its max live row
+            # kernel; backward cost+accept-offset via the packed-field
+            # SWAR accept kernel (round 5; GAML_SWAR_BACKWARD=0 restores
+            # the dynamic-rows register kernel); each block loops only
+            # to its max live row
             cf = swar_cost_pallas(read_f.T, gwin_f.T, rlen_f, glen_f,
                                   rmax, nrows_f, interpret=interp)
-            cb, ab = dp_rows_pallas_reg_dyn(read_b.T, gwin_b.T, rlen_b,
-                                            glen_b, rmax, nrows_b,
-                                            interpret=interp)
+            if os.environ.get("GAML_SWAR_BACKWARD", "1") == "1":
+                cb, ab = swar_cost_accept_pallas(
+                    read_b.T, gwin_b.T, rlen_b, glen_b, rmax, nrows_b,
+                    interpret=interp)
+            else:
+                cb, ab = dp_rows_pallas_reg_dyn(
+                    read_b.T, gwin_b.T, rlen_b, glen_b, rmax, nrows_b,
+                    interpret=interp)
             ok = (cf <= ERROR_LIMIT) & (cb <= ERROR_LIMIT)
             errs = cf + cb
             d_back = ab

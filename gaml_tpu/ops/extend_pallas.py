@@ -483,6 +483,143 @@ def swar_cost_pallas(read_t, gwin_t, rlen, glen, rmax: int, nrows,
     return (c0.reshape(n) >> 12) & 0xF  # field 3 = band offset d = 0
 
 
+def _swar_eqmask(u, v):
+    """0xF per field where u == v (field values <= 8 on u, <= 7 on v).
+    The one false-positive shape (u=8 vs v=0) cannot occur at any field
+    the callers consult: every take condition carries a ~match factor and
+    ~match forces c_row >= 1 at non-accept cells (accept cells overwrite
+    a wholesale)."""
+    z = u ^ v
+    e = H7 & ~((z | H7) - L7)
+    return (e >> 3) * 15
+
+
+def _swar_row_step_acc(r, bc, rc, rlen, glen, c, a):
+    """One DP row of the backward direction in SWAR form: the cost
+    recurrence of _swar_row_step PLUS the preferred-accept-offset
+    propagation (the register kernel's take_sub/take_gskip/take_rskip
+    priority chain), with offsets packed 4 bits per band slot (value
+    d+3 in 0..6; 7 = INVALID).  Exactness contract: a is bit-exact
+    wherever the final cost <= 6 — every cell on a surviving chain has
+    cost <= its start cost, so all consulted comparisons are
+    unsaturated (see _swar_eqmask note); downstream only consumes a for
+    ok (cost <= ERROR_LIMIT = 3) candidates."""
+    x = bc ^ rc
+    eq = H7 & ~((x | H7) - L7)
+    fm = (eq >> 3) * 15
+    t = jnp.clip(glen - r + 2, 0, 7)
+    ge = H7 & ((DCONST | H7) - t * L7)
+    fgpi = ((H7 ^ ge) >> 3) * 15
+    lr_full = jnp.where(rlen == r + 1, -1, 0)
+    acc_full = jnp.where(r >= rlen, -1, 0)
+
+    dcond = fm & (fgpi | lr_full)
+    diag = (c & dcond) | (INF7 & ~dcond)
+    add1 = _sat_add1(c)
+    scond = fgpi & ~fm
+    sub = (add1 & scond) | (INF7 & ~scond)
+    c_dm1 = ((c << 4) | 0x7) & M28
+    rk = _sat_add1(c_dm1)
+    rskip = (rk & ~fm & M28) | (INF7 & fm)
+    c_row = _swar_min(_swar_min(diag, sub), rskip)
+    for _ in range(3):
+        up = (c_row >> 4) | (0x7 << 24)
+        m = _swar_min(c_row, _sat_add1(up))
+        c_row = (m & scond) | (c_row & ~scond)
+    c_row = c_row & ~acc_full
+
+    # take masks against the (accept-zeroed) row, register-kernel order
+    fsub = scond & _swar_eqmask(c + L7, c_row)
+    c_up = (c_row >> 4) | (0x7 << 24)
+    fgsk = scond & ~fsub & _swar_eqmask(c_up + L7, c_row)
+    frsk = (~fm & M28) & ~fsub & ~fgsk & \
+        _swar_eqmask(c_dm1 + L7, c_row)
+    a_dm1 = ((a << 4) | 0x7) & M28
+    keep = fm | fsub
+    a_row = (a & keep) | (a_dm1 & frsk & ~keep) | \
+        (INF7 & ~keep & ~frsk & M28)
+    for _ in range(4):
+        a_up = (a_row >> 4) | (0x7 << 24)
+        a_row = (a_up & fgsk) | (a_row & ~fgsk)
+    a_row = (DCONST & acc_full) | (a_row & ~acc_full)
+    return c_row, a_row
+
+
+def _swar_kernel_acc_dyn(nrows_ref, bc_ref, rc_ref, rlen_ref, glen_ref,
+                         c_ref, a_ref, *, unroll: int):
+    W = LANES
+    R = nrows_ref[pl.program_id(0)]
+    rlens = [rlen_ref[:, u * W:(u + 1) * W] for u in range(unroll)]
+    glens = [glen_ref[:, u * W:(u + 1) * W] for u in range(unroll)]
+
+    def body(kk, carry):
+        r = R - 1 - kk
+        bct = bc_ref[pl.ds(r, 1), :, :][0]
+        rct = rc_ref[pl.ds(r, 1), :, :][0]
+        cs, a_s = list(carry[0]), list(carry[1])
+        for u in range(unroll):
+            cs[u], a_s[u] = _swar_row_step_acc(
+                r, bct[:, u * W:(u + 1) * W], rct[:, u * W:(u + 1) * W],
+                rlens[u], glens[u], cs[u], a_s[u])
+        return tuple(cs), tuple(a_s)
+
+    c_init = tuple(jnp.zeros((8, W), jnp.int32) for _ in range(unroll))
+    a_init = tuple(jnp.full((8, W), DCONST, jnp.int32)
+                   for _ in range(unroll))
+    cs, a_s = jax.lax.fori_loop(0, R, body, (c_init, a_init))
+    for u in range(unroll):
+        c_ref[:, u * W:(u + 1) * W] = cs[u]
+        a_ref[:, u * W:(u + 1) * W] = a_s[u]
+
+
+@functools.partial(jax.jit, static_argnames=("rmax", "interpret"))
+def swar_cost_accept_pallas(read_t, gwin_t, rlen, glen, rmax: int, nrows,
+                            interpret: bool = False):
+    """Backward-direction SWAR kernel: (cost saturated at 7, accept
+    offset) per candidate — the packed-field form of
+    dp_rows_pallas_reg_dyn, ~2x fewer vector ops per row than the
+    7-array register kernel.  Bit-exact for every consumed value: ok
+    compares cost <= 3 (exact wherever true cost <= 6) and begin/errs
+    are consumed only for ok candidates.  Inputs as swar_cost_pallas;
+    returns (c0 [n] int32, a0 [n] int32 with INVALID_A where no accept
+    edge is preferred)."""
+    n = read_t.shape[1]
+    assert n % BLOCK_CANDS == 0
+    m = n // 8
+    unroll = 4
+    wu = LANES * unroll
+    bc = pack_bandchars(gwin_t, rmax)
+    rt = jnp.where(read_t >= 6, read_t - 2, read_t).astype(jnp.int32)
+    rc = rt * L7
+    bc_r = bc.reshape(rmax, 8, m)
+    rc_r = rc.reshape(rmax, 8, m)
+    rlen_r = rlen.reshape(8, m)
+    glen_r = glen.reshape(8, m)
+    grid = (m // wu,)
+    kernel = functools.partial(_swar_kernel_acc_dyn, unroll=unroll)
+    c0, a0 = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((rmax, 8, wu), lambda i, *_: (0, 0, i)),
+                pl.BlockSpec((rmax, 8, wu), lambda i, *_: (0, 0, i)),
+                pl.BlockSpec((8, wu), lambda i, *_: (0, i)),
+                pl.BlockSpec((8, wu), lambda i, *_: (0, i)),
+            ],
+            out_specs=[pl.BlockSpec((8, wu), lambda i, *_: (0, i)),
+                       pl.BlockSpec((8, wu), lambda i, *_: (0, i))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((8, m), jnp.int32),
+                   jax.ShapeDtypeStruct((8, m), jnp.int32)],
+        interpret=interpret,
+    )(nrows, bc_r, rc_r, rlen_r, glen_r)
+    cv = (c0.reshape(n) >> 12) & 0xF
+    av = (a0.reshape(n) >> 12) & 0xF
+    return cv, jnp.where(av == 7, INVALID_A, av - 3)
+
+
 def _dp_kernel_reg_dyn(nrows_ref, read_ref, gwin_ref, rlen_ref, glen_ref,
                        c_ref, a_ref):
     """_dp_kernel_reg with a per-block dynamic row bound R from scalar

@@ -204,6 +204,21 @@ def test_sorted_dynamic_kernels_bit_exact():
         jnp.asarray(nrows), interpret=True))
     assert np.array_equal(c7[inv], np.minimum(c_ref, 7))
 
+    # round-5 backward SWAR kernel: cost under the same saturated
+    # contract; accept offset bit-equal wherever the cost is unsaturated
+    # (every consumer reads a only for ok = cost <= 3 candidates)
+    from gaml_tpu.ops.extend_pallas import swar_cost_accept_pallas
+
+    ca, aa = swar_cost_accept_pallas(
+        jnp.asarray(read_np[:, perm]), jnp.asarray(gwin_np[:, perm]),
+        jnp.asarray(rlen_np[perm]), jnp.asarray(glen_np[perm]), rmax,
+        jnp.asarray(nrows), interpret=True)
+    ca, aa = np.asarray(ca)[inv], np.asarray(aa)[inv]
+    assert np.array_equal(ca, np.minimum(c_ref, 7))
+    m = c_ref <= 6
+    assert m.sum() > n // 4
+    assert np.array_equal(aa[m], a_ref[m])
+
 
 def test_stage_uniform_matches_stage_candidates(tmp_path):
     from gaml_tpu.ops.extend import stage_candidates, stage_candidates_uniform
