@@ -85,12 +85,19 @@ def main():
     print(f"anchors ({time.time() - t0:.1f}s)", flush=True)
 
     if os.environ.get("GAML_PB_PREWARM") == "1":
-        # compile the single (GAML_PB_CHUNK, rmax-class) forward
-        # executable once, off the timed anneal (one-time per process;
-        # a co-located deployment amortizes it across runs)
+        # compile the (GAML_PB_CHUNK, rmax-class) executable ladder once,
+        # off the timed anneal (one-time per process; a co-located
+        # deployment amortizes it across runs).  Default: background
+        # ladder overlapped with the anneal's native-served early moves;
+        # GAML_PB_PREWARM_SYNC=1 blocks as in round 4.
         t0 = time.time()
-        rs.prewarm_device()
-        print(f"prewarm ({time.time() - t0:.1f}s)", flush=True)
+        if os.environ.get("GAML_PB_PREWARM_SYNC") == "1":
+            rs.prewarm_device()
+            print(f"prewarm ({time.time() - t0:.1f}s)", flush=True)
+        else:
+            rs.prewarm_device_async()
+            print(f"prewarm dispatched in background "
+                  f"({time.time() - t0:.1f}s)", flush=True)
 
     cfg = SingleReadConfig(penalty_constant=0.0001, step=100)
     pc = ProbCalculator([], [], [(cfg, rs)], gr)

@@ -5,6 +5,7 @@ Usage: gaml-tpu <config file> [--backend bfs|device] [--resume prefix]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from .config import load_config, prepare_read_sets
@@ -161,11 +162,15 @@ def main(argv=None) -> int:
     elif args.backend == "device" and pacbio:
         # single-chip device routing for the long-read forward DP: batches
         # above the cost-model threshold go to the Pallas kernel (the
-        # measured ~3M-cell crossover is the library default in
-        # scoring/pacbio.py); compile the one executable shape up front so
-        # the anneal never stalls on it
+        # measured ~1.5M-cell crossover is the library default in
+        # scoring/pacbio.py).  The executable ladder compiles in the
+        # BACKGROUND while early moves are served by the exact native
+        # kernels; GAML_PB_PREWARM_SYNC=1 restores the blocking prewarm.
         for _cfg, rs in pacbio:
-            rs.prewarm_device()
+            if os.environ.get("GAML_PB_PREWARM_SYNC") == "1":
+                rs.prewarm_device()
+            else:
+                rs.prewarm_device_async()
     if args.device_state and paired:
         # needs read lengths: after prepare_reads
         from .parallel.sharded import make_mesh

@@ -248,12 +248,14 @@ class PacbioReadSet:
                         self.anchors_end.setdefault(nid, set()).add(rid)
 
     # ----------------------------------------------------- alignment (slow)
-    def prewarm_device(self) -> None:
-        """Compile the single (GAML_PB_CHUNK, rmax-class) forward
-        executable off the hot path by dispatching one full dummy chunk
-        eagerly, then mark the warm-up router's key ready.  One-time per
-        process (a co-located deployment amortizes it across runs); no-op
-        on CPU platforms or empty read sets."""
+    def prewarm_device(self, clear_metrics: bool = True) -> None:
+        """Compile the (GAML_PB_CHUNK, rmax-class) forward executable
+        ladder by dispatching one full dummy chunk per rung eagerly,
+        marking each warm-up-router key ready as its rung lands.
+        One-time per process (a co-located deployment amortizes it
+        across runs); no-op on CPU platforms or empty read sets.
+        Prefer prewarm_device_async — this synchronous form blocks for
+        the whole ladder."""
         import os
 
         if not self.read_seq:
@@ -278,37 +280,61 @@ class PacbioReadSet:
         while bkt <= smax:
             warm_seqs.append(np.zeros(bkt - 2, dtype=np.uint8))
             bkt *= 4
-        saved = {k: os.environ.get(k)
-                 for k in ("GAML_DEV_EAGER", "GAML_PB_DEVICE_MIN_CELLS")}
-        os.environ["GAML_DEV_EAGER"] = "1"
-        os.environ["GAML_PB_DEVICE_MIN_CELLS"] = "0"
-        try:
-            jobs = [(r0, centers, ridx, 0)] * chunk
-            self._forward_batch(seq, jobs)
-            if getattr(self, "_fwd_engine", None) is not None:
-                for sq in warm_seqs[1:]:
-                    self._forward_batch(sq, jobs)
-            else:  # dense route: one seq-independent executable
-                warm_seqs = warm_seqs[:1]
-        finally:
-            for k, v in saved.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
-        prof = getattr(self, "dp_cells", None)
-        if prof and prof.get("pallas"):
-            from ..utils.warmup import mark_ready
+        from ..utils.warmup import mark_ready
 
-            base = ("pb_forward", chunk, getattr(self, "_dev_rmax_class", 0))
+        def rung_ready(sq):
+            """Flip this rung's route to the device as soon as its
+            executable lands (per-rung, so an async prewarm warms the
+            anneal's routes one bucket at a time)."""
+            prof = getattr(self, "dp_cells", None)
+            if not (prof and prof.get("pallas")):
+                return
+            base = ("pb_forward", chunk,
+                    getattr(self, "_dev_rmax_class", 0))
             eng = getattr(self, "_fwd_engine", None)
-            if eng is None:  # dense route: one executable, one key
-                mark_ready(base)
-            else:            # resident route: keys carry the bucket
-                for sq in warm_seqs:
-                    mark_ready(base + (eng.seq_bucket(len(sq)),))
-        if prof is not None:
-            prof.clear()
+            mark_ready(base if eng is None
+                       else base + (eng.seq_bucket(len(sq)),))
+
+        jobs = [(r0, centers, ridx, 0)] * chunk
+        self._forward_batch(seq, jobs, force_device=True)
+        rung_ready(seq)
+        if getattr(self, "_fwd_engine", None) is not None:
+            for sq in warm_seqs[1:]:
+                self._forward_batch(sq, jobs, force_device=True)
+                rung_ready(sq)
+        if clear_metrics:
+            prof = getattr(self, "dp_cells", None)
+            if prof is not None:
+                prof.clear()
+
+    def prewarm_device_async(self):
+        """Run the prewarm ladder in a DAEMON thread: the anneal starts
+        immediately with batches served by the exact native kernels, and
+        each rung's route flips to the device as its executable lands
+        (the short-read warm-up-router pattern, utils/warmup.py) — the
+        262 s synchronous ladder at 1 Mb scale (BENCHMARKS.md) comes off
+        the critical path entirely.  Metrics are not cleared (prewarm
+        DP cells are counted under 'pallas').  Returns the started
+        thread, or None when there is nothing to warm."""
+        import os
+
+        if not self.read_seq:
+            return None
+        import jax
+
+        if jax.devices()[0].platform in ("cpu",) and \
+                os.environ.get("GAML_PB_FORCE_DEVICE") != "1":
+            return None
+        import threading
+
+        from ..utils.warmup import _THREADS
+
+        th = threading.Thread(
+            target=lambda: self.prewarm_device(clear_metrics=False),
+            daemon=True, name="gaml-pb-prewarm")
+        _THREADS.append(th)  # joined at interpreter exit like the router's
+        th.start()
+        return th
 
     def _ensure_fwd_engine(self, rmax_cls: int):
         """The device forward engine with this read set's RESIDENT packed
@@ -338,12 +364,18 @@ class PacbioReadSet:
         self._fwd_engine = eng
         return eng
 
-    def _forward_batch(self, seq: np.ndarray, jobs, extents=None):
+    def _forward_batch(self, seq: np.ndarray, jobs, extents=None,
+                       force_device: bool = False):
         """jobs: list of (read codes, centers).  Returns logprobs list.
         ``extents`` optionally gives each job's (gstart, glen) target span
         inside ``seq`` (for batching jobs over several concatenated
         targets); default = the whole buffer.  Dispatches to the Pallas
-        TPU kernel on accelerator backends, the jnp kernel elsewhere."""
+        TPU kernel on accelerator backends, the jnp kernel elsewhere.
+
+        ``force_device`` bypasses the cost-model threshold and the
+        warm-up router (used by the prewarm ladder; a PARAMETER, not an
+        env mutation, so a background prewarm thread cannot flip the
+        main thread's routing mid-anneal)."""
         if not jobs:
             return []
         rmax = max(len(j[0]) for j in jobs)
@@ -400,7 +432,7 @@ class PacbioReadSet:
         # CLI-only setting: with resident-read staging the crossover
         # moved from ~3M to ~1.5M cells (478.7 vs 424.8 moves/s at the
         # pinned 100 kb scale, BENCHMARKS.md long-read table).
-        min_cells = int(__import__("os").environ.get(
+        min_cells = 0 if force_device else int(__import__("os").environ.get(
             "GAML_PB_DEVICE_MIN_CELLS", 1_500_000))
         if cells < min_cells:
             from ..native import get_lib
@@ -506,8 +538,9 @@ class PacbioReadSet:
             # very batch's first chunk (GAML_DEV_EAGER=1 bypasses)
             from ..native import get_lib as _glib
 
-            if __import__("os").environ.get("GAML_DEV_EAGER") != "1" and \
-                    _glib() is not None:
+            if not force_device and \
+                    __import__("os").environ.get("GAML_DEV_EAGER") != "1" \
+                    and _glib() is not None:
                 from ..utils.warmup import device_ready
 
                 def warm():
