@@ -193,24 +193,30 @@ def main():
         return (time.time() - t0) * 8
 
     # ---- host bars, looped until the background compile lands (the
-    # wait is spent tightening the host floors instead of idling, so
-    # the critical-path cold stall t_cold stays ~0 even on a slow
-    # compile day); minimum windows per bar still apply, budget caps
-    # the total when the compile finishes fast
+    # wait is spent on more measurement instead of idling, so the
+    # critical-path cold stall t_cold stays ~0 even on a slow compile
+    # day).  Both sides of the ratio get the SAME best-of-N treatment
+    # (N = BENCH_WINDOWS, matching the device side): the recorded floor
+    # uses only the first N windows — min over an unbounded wait would
+    # fish out the shared box's rare idle moments and bias the bar.
+    BENCH_WINDOWS = int(os.environ.get("GAML_BENCH_WINDOWS", "8"))
     host_budget = float(os.environ.get("GAML_BENCH_HOST_BUDGET", "25"))
     warm_budget = float(os.environ.get("GAML_BENCH_WARM_BUDGET", "900"))
     host_times, host_par_times = [], []
     t_host0 = time.time()
     while True:
-        host_times.append(serial_window())
-        host_par_times.append(parallel_window())
+        if len(host_times) < BENCH_WINDOWS:
+            host_times.append(serial_window())
+            host_par_times.append(parallel_window())
+        else:
+            # floors recorded: idle-wait so the warm thread's client-side
+            # tracing/lowering is not starved for CPU by host windows
+            time.sleep(2)
         spent = time.time() - t_host0
         if len(host_times) < 2 or spent < 2 * host_budget:
             continue
         if warm["dt"] is not None or \
                 time.time() - t_warm_start > warm_budget:
-            break
-        if len(host_times) >= 40:  # floor found; just wait out the rest
             break
     host_dt = min(host_times)
     host_serial_rps = n_reads / host_dt if host_dt > 0 else float("inf")

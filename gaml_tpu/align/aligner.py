@@ -356,6 +356,18 @@ class SubpathAligner:
         if not keep:
             return (lambda: out) if defer else out
 
+        if self.backend == "device" and len(seqs) <= 1024 and \
+                _os.environ.get("GAML_DEV_CANDGEN", "1") == "1":
+            # round-5 path: candidate generation ON DEVICE against the
+            # resident fingerprint index — the batch ships only the
+            # 2-bit-packed window buffer (~G/4 bytes) up and 8 B per
+            # candidate down (the round-4 path shipped ~18 B/candidate
+            # up and 4 B down, and burned host CPU on the query)
+            resc = self.ensure_device_rescorer()
+            if resc is not None and resc.n_reads < (1 << 20):
+                return self._align_batch_device_candgen(
+                    resc, seqs, offsets, keep, out, defer, _dbg, _t0)
+
         qs = query_windows_batch(bundle, seqs)
         if _dbg:
             _t1 = _time.perf_counter()
@@ -430,6 +442,86 @@ class SubpathAligner:
             return out
 
         return postprocess if defer else postprocess()
+
+    def _align_batch_device_candgen(self, resc, seqs, offsets, keep, out,
+                                    defer, _dbg, _t0):
+        """Device-candgen batch flow: one packed-window upload, 8 B per
+        candidate down, dedup on host (results bit-identical to the
+        native-query flow — same candidates in the same emission order,
+        tests/test_candgen_device.py)."""
+        import time as _time
+
+        from ..ops.candgen_device import _bucket_pow2
+
+        g_total = sum(len(s) for s in seqs)
+        s_pad = _bucket_pow2(max(g_total + 1, 1), 4096)
+        # cap tied to the buffer bucket: one executable per bucket, and
+        # candidate density above cap/G (~0.5/bp at 2x headroom over
+        # measured worlds) falls back to the exact native aligner
+        cap = max(4096, s_pad // 2)
+        fetch = resc.extend(seqs, cap=cap)
+        if _dbg:
+            _t1 = _time.perf_counter()
+            print(f"[batch] candgen.dispatch={_t1 - _t0:.2f}s "
+                  f"windows={len(seqs)} s_pad={s_pad} cap={cap}",
+                  flush=True)
+
+        def postprocess():
+            res, n = fetch()
+            if res is None:
+                # cap overflow: redo the whole batch with the exact
+                # native window aligner (bit-identical output)
+                from ..native import align_windows_batch
+
+                for si, r in zip(keep, align_windows_batch(
+                        self.native_bundle, seqs, list(offsets))):
+                    out[si] = AlignmentColumns(*r)
+                return out
+            ok, errs, begin, rid, orient, seg = res
+            off_arr = np.asarray(offsets, dtype=np.int64)
+            pos_all = begin.astype(np.int64) + 1 + off_arr[seg]
+            # emission order groups candidates by window (seg ascending)
+            spans = np.searchsorted(seg, np.arange(len(seqs) + 1))
+            for w, si in enumerate(keep):
+                a, b = int(spans[w]), int(spans[w + 1])
+                m = ok[a:b]
+                if not m.any():
+                    out[si] = _EMPTY_COLUMNS_ALIGNER
+                    continue
+                pos_w = pos_all[a:b][m].astype(np.int32)
+                rid_w = rid[a:b][m].astype(np.int32)
+                ed_w = errs[a:b][m].astype(np.int32)
+                or_w = orient[a:b][m].astype(np.int32)
+                order = np.lexsort((np.arange(len(pos_w)), rid_w, pos_w))
+                ps, rs = pos_w[order], rid_w[order]
+                first = np.ones(len(ps), dtype=bool)
+                first[1:] = (ps[1:] != ps[:-1]) | (rs[1:] != rs[:-1])
+                sel = order[first]
+                out[si] = AlignmentColumns(pos_w[sel], ed_w[sel],
+                                           rid_w[sel], or_w[sel])
+            if _dbg:
+                print(f"[batch] candgen.fetch+scatter="
+                      f"{_time.perf_counter() - _t0:.2f}s cands={n}",
+                      flush=True)
+            return out
+
+        return postprocess if defer else postprocess()
+
+    def ensure_device_rescorer(self):
+        """The candgen+extension device engine (resident fingerprint
+        index + read matrices); None until the native bundle exists."""
+        resc = getattr(self, "_device_rescorer", None)
+        if resc is None:
+            bundle = getattr(self, "native_bundle", None)
+            if bundle is None or bundle.read_len <= K_INDEX_KMER or \
+                    bundle.read_len - K_INDEX_KMER > 255 or \
+                    len(bundle.row_of) >= (1 << 20):
+                return None
+            from ..ops.rescore_device import DeviceRescorer
+
+            resc = self._device_rescorer = DeviceRescorer(
+                bundle, ext=self.ensure_device_extender())
+        return resc
 
     def ensure_device_extender(self):
         """Create (or return) the device-resident extension engine.

@@ -106,11 +106,16 @@ def _candgen_impl(packed2, fixpos, seg_base, seg_len, n_seg, g_total,
     codes = jnp.concatenate([codes, jnp.zeros(1, jnp.int32)])
     codes = codes.at[fixpos].set(4, mode="drop")[:s_pad]
 
-    # ---- per-position segment id
+    # ---- per-position segment id: scatter each segment's id at its
+    # base, then a running max (no per-position binary search — gathers
+    # are the device's scarcest resource in this kernel)
     j = jnp.arange(s_pad, dtype=jnp.int32)
-    pid = jnp.clip(
-        jnp.searchsorted(seg_base, j, side="right").astype(jnp.int32) - 1,
-        0, seg_base.shape[0] - 1)
+    nseg_pad = seg_base.shape[0]
+    seg_ids = jnp.arange(nseg_pad, dtype=jnp.int32)
+    pid0 = jnp.zeros(s_pad + 1, jnp.int32).at[
+        jnp.where(seg_ids < n_seg, seg_base, s_pad)].max(
+        seg_ids, mode="drop")[:s_pad]
+    pid = jax.lax.associative_scan(jnp.maximum, pid0)
     segb = seg_base[pid]
     segl = seg_len[pid]
 
@@ -163,53 +168,89 @@ def _candgen_impl(packed2, fixpos, seg_base, seg_len, n_seg, g_total,
         & (segl >= L)
 
     n_fp = sf.shape[0]
+    # fingerprint-run capacity: runs change roughly every w/2 positions
+    # (~2/w per window on random sequence), so s_pad//8 is ~5x headroom;
+    # n_runs is range-checked below and overflow reports n_total > cap
+    # so callers retry/fall back exactly like candidate-cap overflow
+    rq = max(4096, s_pad // 8)
 
     def strand(buf):
+        """Collapse each strand's fingerprint runs to a compact [rq]
+        table FIRST, then look up only the runs — the index binary
+        search touches ~s_pad/40 queries instead of s_pad."""
         h = kmer_hashes(buf)
         fp, kp = window_max(h)
         prev_fp = jnp.concatenate([jnp.full((1,), -1, jnp.int32), fp[:-1]])
         prev_pid = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
                                     pid[:-1]])
         newrun = wv & ((j == 0) | (pid != prev_pid) | (fp != prev_fp))
-        idx = jnp.searchsorted(sf, fp, side="left").astype(jnp.int32)
-        idc = jnp.clip(idx, 0, n_fp - 1)
-        found = (sf[idc] == fp) & (idx < n_fp)
-        cnt = jnp.where(newrun & found, off[idc + 1] - off[idc], 0)
-        return cnt, off[idc], kp
+        rpos = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+        n_runs = rpos[-1] + 1
+        tgt = jnp.where(newrun, rpos, rq)
 
-    cnt_f, lo_f, kp_f = strand(codes)
-    cnt_r, lo_r, kp_r = strand(rc_codes)
+        def compact(x, fill):
+            return jnp.full(rq + 1, fill, jnp.int32).at[tgt].set(
+                x, mode="drop")[:rq]
+
+        fp_c = compact(fp, -1)
+        kp_c = compact(kp, 0)
+        s_c = compact(j, 0)
+        idx = jnp.searchsorted(sf, fp_c, side="left").astype(jnp.int32)
+        idc = jnp.clip(idx, 0, n_fp - 1)
+        found = (sf[idc] == fp_c) & (idx < n_fp) & (fp_c >= 0)
+        cnt = jnp.where(found, off[idc + 1] - off[idc], 0)
+        return cnt, off[idc], kp_c, s_c, n_runs
+
+    cnt_f, lo_f, kp_f, s_f, nr_f = strand(codes)
+    cnt_r, lo_r, kp_r, s_r, nr_r = strand(rc_codes)
 
     counts = jnp.concatenate([cnt_f, cnt_r])
     lo_all = jnp.concatenate([lo_f, lo_r])
     kp_all = jnp.concatenate([kp_f, kp_r])
+    s_all = jnp.concatenate([s_f, s_r])
     csum = jnp.cumsum(counts)
     n_total = csum[-1]
+    # run-table overflow (pathological fingerprint churn): flag through
+    # the same overflow channel the candidate cap uses
+    n_total = jnp.where((nr_f > rq) | (nr_r > rq),
+                        jnp.int32(cap + 1) + n_total, n_total)
 
+    # expansion: scatter each run's index at its first output slot and
+    # forward-max — every slot learns its run without a binary search
     t = jnp.arange(cap, dtype=jnp.int32)
-    wi = jnp.searchsorted(csum, t, side="right").astype(jnp.int32)
-    wic = jnp.clip(wi, 0, 2 * s_pad - 1)
-    kk = t - (csum[wic] - counts[wic])
-    rid = rids[jnp.clip(lo_all[wic] + kk, 0, rids.shape[0] - 1)]
-    orient = (wic >= s_pad).astype(jnp.int32)
-    s = wic - orient * s_pad
+    base_slot = csum - counts
+    run_ids = jnp.arange(2 * rq, dtype=jnp.int32)
+    rix0 = jnp.zeros(cap + 1, jnp.int32).at[
+        jnp.where(counts > 0, base_slot, cap)].max(
+        run_ids, mode="drop")[:cap]
+    rix = jax.lax.associative_scan(jnp.maximum, rix0)
+    kk = t - base_slot[rix]
+    rid = rids[jnp.clip(lo_all[rix] + kk, 0, rids.shape[0] - 1)]
+    orient = (rix >= rq).astype(jnp.int32)
+    s = s_all[rix]
     seg = pid[s]
-    kp = kp_all[wic]
+    kp = kp_all[rix]
     loc = kp - seg_base[seg]
     g0 = jnp.where(orient == 1, seg_len[seg] - loc - K, loc)
     row = row_of[jnp.clip(rid, 0, row_of.shape[0] - 1)]
     r0 = seed2[jnp.clip(row, 0, seed2.shape[0] - 1), orient]
 
     valid = t < n_total
-    seg_key = jnp.where(valid, seg, INT32_BIG)
-    rid_key = jnp.where(valid, rid, INT32_BIG)
     # reference emission order: per segment, stable-sorted by rid over
-    # (fwd hits in window order, then rc hits) — which is exactly a
-    # stable (seg, rid) sort of this kernel's natural expansion order
-    seg_s, _rk, rid_s, g0_s, r0_s, or_s = jax.lax.sort(
-        (seg_key, rid_key, rid, g0, r0, orient), num_keys=2,
-        is_stable=True)
-    seg_s = jnp.where(jnp.arange(cap) < n_total, seg_s, 0)
+    # (fwd hits in window order, then rc hits) — a stable (seg, rid)
+    # sort of this kernel's natural expansion order.  One packed key
+    # (seg<<20 | rid; engine guards seg < 1024, rid < 2^20) and one
+    # packed payload keep the sort at three operands.
+    key = jnp.where(valid, (seg << 20) | rid, INT32_BIG)
+    pay = (g0 << 9) | (r0 << 1) | orient
+    key_s, g0r0_s, rid_s = jax.lax.sort(
+        (key, pay, rid), num_keys=1, is_stable=True)
+    live = jnp.arange(cap) < n_total
+    seg_s = jnp.where(live, key_s >> 20, 0)
+    rid_s = jnp.where(live, rid_s, 0)
+    g0_s = g0r0_s >> 9
+    r0_s = (g0r0_s >> 1) & 0xFF
+    or_s = g0r0_s & 1
     return (codes.astype(jnp.uint8), rid_s, g0_s, r0_s, or_s, seg_s,
             n_total)
 
@@ -232,6 +273,9 @@ class DeviceCandGen:
 
         _enable_compile_cache()
         self.read_len = int(bundle.read_len)
+        # packed-field limits of the emission sort (see _candgen_impl)
+        assert self.read_len - K <= 255, "read_len > 270 unsupported"
+        assert len(bundle.row_of) < (1 << 20), "rid field: < 2^20 reads"
         n_fp = len(bundle.fp_sorted)
         n_fp_pad = _bucket_pow2(max(n_fp, 1), 1024)
         sf = np.full(n_fp_pad, _FP_PAD, dtype=np.int32)

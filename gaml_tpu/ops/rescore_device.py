@@ -47,6 +47,28 @@ def _rescore(*args, **kw):
     return _RESCORE_JIT(*args, **kw)
 
 
+def _stage_layout(r0f, g0f, lay, L, cap):
+    """Sorted-dynamic kernel layout as ONE gather-index array: a
+    two-operand stable argsort by r0 composed with the host block
+    permutation.  Returns (gidx [cap] — kernel slot -> original
+    candidate —, nrows_f, nrows_b).  Replaces the round-5.0 ten-operand
+    lax.sort (multi-operand sorts dominated the rescore wall)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .candgen_device import K
+    from .extend_pallas import BLOCK_CANDS
+
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    r0s, order = jax.lax.sort((r0f, iota), num_keys=1, is_stable=True)
+    nb = cap // BLOCK_CANDS
+    rf = jnp.maximum(L - K - r0s, 0)
+    rb = jnp.where(g0f[order] > 0, r0s, 0)
+    nrows_f = rf.reshape(nb, BLOCK_CANDS).max(1).astype(jnp.int32)
+    nrows_b = rb.reshape(nb, BLOCK_CANDS).max(1).astype(jnp.int32)
+    return order[lay], nrows_f, nrows_b
+
+
 def _rescore_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg,
                   n_tot, seg_base, seg_len, row_of, lay, read_lens_all,
                   n_reads, log_match, log_mismatch, total_len,
@@ -54,8 +76,6 @@ def _rescore_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg,
                   use_pallas: bool, sorted_mode: bool, interp: bool):
     import jax
     import jax.numpy as jnp
-
-    from .extend_pallas import BLOCK_CANDS
 
     cap = rid.shape[0]
     iota = jnp.arange(cap, dtype=jnp.int32)
@@ -71,27 +91,17 @@ def _rescore_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg,
     rows = row_of[jnp.clip(rid, 0, row_of.shape[0] - 1)]
 
     if sorted_mode:
-        srt = jax.lax.sort(
-            (r0f, base, glen, g0f, rows, orient, rid, iota, seg,
-             valid.astype(jnp.int32)), num_keys=1, is_stable=True)
-        r0s, bases, glens, g0s, rowss, ors, rids_s, ranks, segs, vals = srt
-        nb = cap // BLOCK_CANDS
-        rf = jnp.maximum(L - K - r0s, 0)
-        rb = jnp.where(g0s > 0, r0s, 0)
-        nrows_f = rf.reshape(nb, BLOCK_CANDS).max(1).astype(jnp.int32)
-        nrows_b = rb.reshape(nb, BLOCK_CANDS).max(1).astype(jnp.int32)
-
-        def L_(x):
-            return x[lay]
-
-        bases, glens, g0s, r0s, rowss, ors = map(
-            L_, (bases, glens, g0s, r0s, rowss, ors))
-        rids_s, ranks, segs, vals = map(L_, (rids_s, ranks, segs, vals))
+        gidx, nrows_f, nrows_b = _stage_layout(r0f, g0f, lay, L, cap)
+        bases, glens, g0s, r0s, rowss, ors = (
+            x[gidx] for x in (base, glen, g0f, r0f, rows, orient))
+        # the original candidate index IS the emission rank
+        ranks, segs = gidx, seg[gidx]
+        vals = valid[gidx]
+        rids_s = rid[gidx]
     else:
         bases, glens, g0s, r0s, rowss, ors = base, glen, g0f, r0f, rows, \
             orient
-        rids_s, ranks, segs = rid, iota, seg
-        vals = valid.astype(jnp.int32)
+        rids_s, ranks, segs, vals = rid, iota, seg, valid
         nrows_f = nrows_b = None
 
     body = make_fused_body(L, rmax, use_pallas, sorted_mode, interp)
@@ -103,20 +113,22 @@ def _rescore_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg,
         ok, errs, begin, _pk = body(fwd_words, rc_words, codes_u8, bases,
                                     glens, g0s, r0s, rowss, ors)
 
-    good = ok & (vals == 1)
-    seg_key = jnp.where(good, segs, INT32_BIG)
-    rid_key = jnp.where(good, rids_s, INT32_BIG)
+    good = ok & vals
+    # dedup by (window, read, begin), winner = smallest emission rank:
+    # ONE packed key (seg<<20 | rid), begin, rank — plus the sort
+    # permutation to carry errs along afterwards
+    key1 = jnp.where(good, (segs << 20) | rids_s, INT32_BIG)
     pos_key = jnp.where(good, begin, INT32_BIG)
-    rlen = read_lens_all[jnp.clip(rids_s, 0,
-                                  read_lens_all.shape[0] - 1)]
-    segk, ridk, posk, _rk, goods, errs_s, rlen_s = jax.lax.sort(
-        (seg_key, rid_key, pos_key, ranks, good.astype(jnp.int32),
-         errs, rlen), num_keys=4)
+    k1s, posk, _rk, perm = jax.lax.sort(
+        (key1, pos_key, ranks, iota), num_keys=3)
     first = jnp.concatenate([
         jnp.array([True]),
-        (segk[1:] != segk[:-1]) | (ridk[1:] != ridk[:-1])
-        | (posk[1:] != posk[:-1])])
-    keep = (goods == 1) & first
+        (k1s[1:] != k1s[:-1]) | (posk[1:] != posk[:-1])])
+    keep = (k1s != INT32_BIG) & first
+    ridk = k1s & 0xFFFFF
+    errs_s = errs[perm]
+    rlen_s = read_lens_all[jnp.clip(ridk, 0,
+                                    read_lens_all.shape[0] - 1)]
 
     p = jnp.exp(errs_s * log_mismatch + (rlen_s - errs_s) * log_match)
     p = jnp.where(keep, p, 0.0)
@@ -140,6 +152,69 @@ def _rescore_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg,
     return score, zero_reads, read_probs
 
 
+_EXTEND_JIT = None
+
+
+def _extend_cands(*args, **kw):
+    global _EXTEND_JIT
+    if _EXTEND_JIT is None:
+        import jax
+
+        _EXTEND_JIT = jax.jit(
+            _extend_cands_impl,
+            static_argnames=("L", "rmax", "use_pallas", "sorted_mode",
+                             "interp"))
+    return _EXTEND_JIT(*args, **kw)
+
+
+def _extend_cands_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient,
+                       seg, n_tot, seg_base, seg_len, row_of, lay,
+                       L: int, rmax: int, use_pallas: bool,
+                       sorted_mode: bool, interp: bool):
+    """Banded extension over device-generated candidates, results
+    restored to the candgen emission order: returns (packed [cap] — the
+    ops.extend_device result word — and meta [cap] =
+    rid<<11 | seg<<1 | orient).  The host fetches 8 B/candidate and no
+    longer uploads any per-candidate metadata (the round-4 aligner path
+    shipped ~18 B/candidate up + 4 B down)."""
+    import jax
+    import jax.numpy as jnp
+
+    cap = rid.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    valid = iota < n_tot
+    r0f = jnp.where(valid, r0, L - K)
+    g0f = jnp.where(valid, g0, 0)
+    base = jnp.where(valid, seg_base[jnp.clip(seg, 0,
+                                              seg_base.shape[0] - 1)], 0)
+    glen = jnp.where(valid, seg_len[jnp.clip(seg, 0,
+                                             seg_len.shape[0] - 1)], 0)
+    rows = row_of[jnp.clip(rid, 0, row_of.shape[0] - 1)]
+
+    if sorted_mode:
+        gidx, nrows_f, nrows_b = _stage_layout(r0f, g0f, lay, L, cap)
+        bases, glens, g0s, r0s, rowss, ors = (
+            x[gidx] for x in (base, glen, g0f, r0f, rows, orient))
+        ranks = gidx
+    else:
+        bases, glens, g0s, r0s, rowss, ors = base, glen, g0f, r0f, rows, \
+            orient
+        ranks = iota
+        nrows_f = nrows_b = None
+
+    body = make_fused_body(L, rmax, use_pallas, sorted_mode, interp)
+    if sorted_mode:
+        _ok, _e, _b, pk = body(fwd_words, rc_words, codes_u8, bases,
+                               glens, g0s, r0s, rowss, ors, nrows_f,
+                               nrows_b)
+        packed = jnp.zeros(cap, jnp.int32).at[ranks].set(pk)
+    else:
+        _ok, _e, _b, packed = body(fwd_words, rc_words, codes_u8, bases,
+                                   glens, g0s, r0s, rowss, ors)
+    meta = (rid << 11) | (seg << 1) | orient
+    return packed, meta
+
+
 class DeviceRescorer:
     """Window-bytes-in, score-out rescore engine for one read set.
 
@@ -147,12 +222,14 @@ class DeviceRescorer:
     read-code matrices (DeviceExtender).  ``rescore`` dispatches the
     whole pipeline asynchronously and returns device handles."""
 
-    def __init__(self, bundle, read_lens_all: np.ndarray = None):
+    def __init__(self, bundle, read_lens_all: np.ndarray = None,
+                 ext: DeviceExtender = None):
         import jax
         import jax.numpy as jnp
 
         self.gen = DeviceCandGen(bundle)
-        self.ext = DeviceExtender(bundle.codes_fwd, bundle.codes_rc)
+        self.ext = ext if ext is not None else \
+            DeviceExtender(bundle.codes_fwd, bundle.codes_rc)
         self.read_len = int(bundle.read_len)
         self.n_reads = int(len(bundle.row_of))
         if read_lens_all is None:
@@ -211,3 +288,52 @@ class DeviceRescorer:
             rmax=self.ext.rmax, use_pallas=bool(use_pallas),
             sorted_mode=sorted_mode, interp=interp)
         return score, zeros, n_tot
+
+    def _mode(self, cap: int, use_pallas):
+        import os
+
+        import jax
+
+        from .extend_pallas import BLOCK_CANDS
+
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform not in ("cpu",) and \
+                os.environ.get("GAML_USE_PALLAS", "1") == "1"
+        sorted_mode = bool(use_pallas) and cap % BLOCK_CANDS == 0 and \
+            os.environ.get("GAML_DEV_SORTED", "1") == "1"
+        return bool(use_pallas), sorted_mode, \
+            os.environ.get("GAML_PALLAS_INTERPRET") == "1"
+
+    def extend(self, seqs: List[np.ndarray], cap: int,
+               use_pallas: bool = None):
+        """Candgen + banded extension for a window batch; dispatches
+        everything and returns a zero-arg closure producing
+        (ok, errs, begin, rid, orient, seg — numpy [n] in the native
+        query's emission order — or None on cap overflow, with the true
+        count as second element): ``fetch() -> (arrays | None, n)``."""
+        import jax.numpy as jnp
+
+        from .extend_device import unpack_results
+
+        use_pallas, sorted_mode, interp = self._mode(cap, use_pallas)
+        codes_u8, rid, g0, r0, orient, seg, n_tot, seg_base, seg_len = \
+            self.gen.query(seqs, cap=cap, return_layout=True)
+        lay = self._lay(cap) if sorted_mode else jnp.zeros(1, jnp.int32)
+        packed, meta = _extend_cands(
+            self.ext.fwd_words, self.ext.rc_words, codes_u8, rid, g0, r0,
+            orient, seg, n_tot, jnp.asarray(seg_base),
+            jnp.asarray(seg_len), self.gen.row_of_dev, lay,
+            L=self.read_len, rmax=self.ext.rmax, use_pallas=use_pallas,
+            sorted_mode=sorted_mode, interp=interp)
+
+        def fetch():
+            n = int(n_tot)
+            if n > cap:
+                return None, n
+            pk = np.asarray(packed)[:n]
+            mt = np.asarray(meta)[:n]
+            ok, errs, begin = unpack_results(pk)
+            return (ok, errs, begin, mt >> 11, mt & 1,
+                    (mt >> 1) & 0x3FF), n
+
+        return fetch

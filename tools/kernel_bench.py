@@ -120,20 +120,33 @@ def main():
         b = dp_rows_pallas(read_t, gwin_t, rlb_j, glen, rmax)
         return a, b
 
-    def sorted_pair():
+    def sorted_pair_r4():
         a = swar_cost_pallas(read_s, gwin_s, rlf_s, glen_s, rmax, nrf)
         b = dp_rows_pallas_reg_dyn(read_s, gwin_s, rlb_s, glen_s, rmax,
                                    nrb)
         return a, b
 
+    def sorted_pair_r5():
+        from gaml_tpu.ops.extend_pallas import swar_cost_accept_pallas
+
+        a = swar_cost_pallas(read_s, gwin_s, rlf_s, glen_s, rmax, nrf)
+        b = swar_cost_accept_pallas(read_s, gwin_s, rlb_s, glen_s, rmax,
+                                    nrb)
+        return a, b
+
     t_old = chain_time(static_pair)
-    t_new = chain_time(sorted_pair)
+    t_r4 = chain_time(sorted_pair_r4)
+    t_new = chain_time(sorted_pair_r5)
     full = 2 * cells
     print(f"static pair (both dirs):         t={t_old*1000:8.2f} ms  "
           f"{full/t_old/1e9:7.2f} G full-problem cells/s", flush=True)
-    print(f"PRODUCTION sorted-dynamic pair:  t={t_new*1000:8.2f} ms  "
+    print(f"round-4 sorted-dynamic pair:     t={t_r4*1000:8.2f} ms  "
+          f"{full/t_r4/1e9:7.2f} G full-problem cells/s  "
+          f"({t_old/t_r4:.2f}x)", flush=True)
+    print(f"PRODUCTION r5 pair (SWAR both):  t={t_new*1000:8.2f} ms  "
           f"{full/t_new/1e9:7.2f} G full-problem cells/s  "
-          f"({t_old/t_new:.2f}x; fwd rows avg {rlen_f.mean():.0f}, "
+          f"({t_old/t_new:.2f}x static, {t_r4/t_new:.2f}x r4; "
+          f"fwd rows avg {rlen_f.mean():.0f}, "
           f"bwd {rlen_b.mean():.0f} of {rmax})", flush=True)
 
 
