@@ -147,28 +147,56 @@ def make_fused_body(L: int, rmax: int, use_pallas: bool,
             out = out | (b[..., k] << (FIELD * k))
         return out
 
-    def gather_slices(words, starts, out_len):
+    def unpack_phase(w, ph, out_len):
+        """bytes[i, t] = field (ph[i] + t) of the word stream w[i, :]:
+        rotate each row's words by its phase IN THE PACKED DOMAIN (two
+        vector shifts on [N, nw] words), then unpack with static field
+        offsets — no per-row selection over the unpacked bytes.  Safe
+        because packed fields are codes <= 4 (3 bits), so shifted words
+        never touch the sign bit."""
+        ph4 = (FIELD * ph)[:, None]
+        wn = jnp.concatenate([w[:, 1:], jnp.zeros_like(w[:, :1])],
+                             axis=1)
+        rot = (w >> ph4) | jnp.where(
+            ph4 == 0, 0, wn << (FIELD * BPW - ph4))
+        mask = (1 << FIELD) - 1
+        b = jnp.stack([(rot >> (FIELD * k)) & mask for k in range(BPW)],
+                      axis=2).reshape(w.shape[0], BPW * w.shape[1])
+        return b[:, 0:out_len]
+
+    def gather_slices(words, starts, out_len, lo: int = None,
+                      hi: int = None):
         """bytes[i, t] = src[i, starts[i] + t] for t < out_len, where
         ``words`` is the packed view of src.  words: [N, W] (per-row)
         or [W] (shared).  Out-of-range reads are arbitrary (callers
-        mask); word indices are clamped."""
+        mask); word indices are clamped.
+
+        TPU-shaped (round 5): general take_along_axis lowers to scalar
+        gathers (~60 ms per 131k-candidate rescore, the whole staging
+        wall).  Per-row sources instead sum masked static column slices
+        over the word-offset range [lo, hi] (small and statically known
+        from L/rmax); the shared 1-D source becomes a sliding word
+        matrix built from static shifts plus ONE row gather."""
         nw = out_len // BPW + 2
         base = starts // BPW
         ph = (starts % BPW).astype(jnp.int32)
-        wmax = (words.shape[-1] - 1)
-        wordcols = jnp.clip(base[:, None] + jnp.arange(nw)[None, :],
-                            0, wmax)
         if words.ndim == 1:
-            w = words[wordcols]
+            nrow = words.shape[0] - nw + 1
+            cols = jnp.stack([words[m:m + nrow] for m in range(nw)],
+                             axis=1)
+            w = cols[jnp.clip(base, 0, nrow - 1)]
         else:
-            w = jnp.take_along_axis(words, wordcols, axis=1)
-        mask = (1 << FIELD) - 1
-        b = jnp.stack([(w >> (FIELD * k)) & mask for k in range(BPW)],
-                      axis=2).reshape(w.shape[0], BPW * nw)
-        out = b[:, 0:out_len]
-        for k in range(1, BPW):
-            out = jnp.where((ph == k)[:, None], b[:, k:k + out_len], out)
-        return out
+            W = words.shape[1]
+            lo = 0 if lo is None else max(lo, 0)
+            hi = W - 1 if hi is None else min(hi, W - 1)
+            wordsp = jnp.concatenate(
+                [words, jnp.zeros((words.shape[0], nw), jnp.int32)],
+                axis=1)
+            basec = jnp.clip(base, lo, hi)[:, None]
+            w = jnp.zeros((words.shape[0], nw), jnp.int32)
+            for m in range(lo, hi + 1):
+                w = w + jnp.where(basec == m, wordsp[:, m:m + nw], 0)
+        return unpack_phase(w, ph, out_len)
 
     wlen = rmax + 2 * PAD
     # left sentinel pads so every gather start is non-negative; the
@@ -195,7 +223,8 @@ def make_fused_body(L: int, rmax: int, use_pallas: bool,
         # forward: read suffix after the seed vs genome from seed end
         cols = (r0 + K)[:, None] + j[None, :]
         sel = cols < L
-        read_f = jnp.where(sel, gather_slices(owords, r0 + K, rmax),
+        read_f = jnp.where(sel, gather_slices(owords, r0 + K, rmax,
+                                              lo=K // BPW, hi=L // BPW),
                            SENT_READ)
         rlen_f = (L - r0 - K).astype(jnp.int32)
         glen_f = (glen_c - (g0 + K)).astype(jnp.int32)
@@ -219,7 +248,9 @@ def make_fused_body(L: int, rmax: int, use_pallas: bool,
         read_b = jnp.where(
             sel_b,
             gather_slices(owords_pad, r0 - rmax + BPW * wpad_r,
-                          rmax)[:, ::-1],
+                          rmax, lo=(BPW * wpad_r - rmax) // BPW,
+                          hi=(L - K - rmax + BPW * wpad_r) // BPW
+                          )[:, ::-1],
             SENT_READ)
         rlen_b = jnp.where(bsel, r0, 0).astype(jnp.int32)
         glen_b = jnp.where(bsel, g0, 0).astype(jnp.int32)
