@@ -122,16 +122,21 @@ def main():
 
     match, mismatch = 0.96, 0.01
     log_m, log_mm = float(np.log(match)), float(np.log(mismatch))
+    # cap: a BLOCK_CANDS multiple with ~15% slack over the candidate
+    # count (pads concentrate in near-empty tail blocks of the dynamic
+    # kernels, but the layout sorts/gathers still scale with cap)
     cap0 = int(os.environ.get("GAML_BENCH_CAP",
-                              str(4096 if SMALL else 131072)))
+                              str(4096 if SMALL else 98304)))
     state = {"cap": cap0}
 
-    def rescore_async():
+    def rescore_async(staged=None):
         """Dispatch one FULL rescore; returns (score, zeros, n) device
         handles.  Ships only the packed window + scalars."""
-        return dev.rescore([genome], cap=state["cap"], log_match=log_m,
+        return dev.rescore([genome] if staged is None else None,
+                           cap=state["cap"], log_match=log_m,
                            log_mismatch=log_mm, total_len=genome_len,
-                           min_prob_per_base=-0.7, min_prob_start=-10.0)
+                           min_prob_per_base=-0.7, min_prob_start=-10.0,
+                           staged=staged)
 
     def rescore_checked():
         """Blocking rescore with candidate-cap overflow retry."""
@@ -266,8 +271,13 @@ def main():
             jax.profiler.start_trace(trace_dir)
 
         def pipelined_window():
+            # stage all windows first (async uploads overlap earlier
+            # dispatches' device compute), then chain the rescores; the
+            # uploads are INSIDE the timed window — this changes
+            # scheduling, not the bytes shipped per rescore
             t0 = time.time()
-            handles = [rescore_async()[0] for _ in range(iters)]
+            stages = [dev.stage([genome]) for _ in range(iters)]
+            handles = [rescore_async(staged=s)[0] for s in stages]
             _ = [float(h) for h in handles]
             return (time.time() - t0) / iters
 

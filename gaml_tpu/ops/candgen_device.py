@@ -57,6 +57,20 @@ def _bucket_pow2(n: int, lo: int) -> int:
     return b
 
 
+def _bucket_mantissa(n: int, lo: int) -> int:
+    """Smallest m * 2^k >= n with 3-bit mantissa m in [8, 15] — <= 12.5%
+    padding vs pow2's <= 100%.  Used for the per-rescore upload shape
+    (the tunnel bills every padded byte; executables per bucket are
+    cheap — the candgen jit compiles in ~1 s)."""
+    n = max(n, lo, 8)
+    k = max(0, n.bit_length() - 4)
+    m = -(-n // (1 << k))
+    if m > 15:
+        k += 1
+        m = (m + 1) // 2
+    return m << k
+
+
 # ------------------------------------------------------------------ jit body
 _CANDGEN_JIT = None
 
@@ -69,12 +83,14 @@ def _candgen(*args, **kw):
         import jax
 
         _CANDGEN_JIT = jax.jit(_candgen_impl,
-                               static_argnames=("read_len", "cap"))
+                               static_argnames=("read_len", "cap",
+                                                "s_pad"))
     return _CANDGEN_JIT(*args, **kw)
 
 
 def _candgen_impl(packed2, fixpos, seg_base, seg_len, n_seg, g_total,
-                  sf, off, rids, seed2, row_of, read_len: int, cap: int):
+                  sf, off, rids, seed2, row_of, read_len: int, cap: int,
+                  s_pad: int = 0):
     """Candidate generation for one packed (possibly multi-segment)
     window buffer.
 
@@ -95,11 +111,17 @@ def _candgen_impl(packed2, fixpos, seg_base, seg_len, n_seg, g_total,
     import jax
     import jax.numpy as jnp
 
-    s_pad = packed2.shape[0] * 4
+    s_pad = s_pad or packed2.shape[0] * 4
     L = read_len
     w = L - K + 1  # k-mers per window (static)
 
-    # ---- unpack codes + restore non-ACGT positions (scratch slot s_pad)
+    # ---- unpack codes + restore non-ACGT positions (scratch slot
+    # s_pad); the upload bucket is tighter than the pow2 compute bucket
+    # (mantissa bucketing — the tunnel bills every padded byte), so
+    # zero-pad up to s_pad//4 words here
+    packed2 = jnp.concatenate(
+        [packed2,
+         jnp.zeros((s_pad // 4 - packed2.shape[0],), jnp.uint8)])
     shifts = jnp.arange(4, dtype=jnp.int32) * 2
     codes = ((packed2[:, None].astype(jnp.int32) >> shifts[None, :]) & 3)\
         .reshape(s_pad)
@@ -304,12 +326,16 @@ class DeviceCandGen:
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                 np.ndarray, int]:
         """Host-side staging of a window batch into one 2-bit packed
-        buffer.  Returns (packed2 u8 [s_pad//4], fixpos i32 [f_pad],
-        seg_base i32 [nseg_pad], seg_len i32 [nseg_pad], g_total)."""
+        buffer.  Returns (packed2 u8 [u_pad] — the UPLOAD bucket, a
+        tighter mantissa bucket than the pow2 compute bucket s_pad; the
+        jit zero-pads on device —, fixpos i32 [f_pad], seg_base i32
+        [nseg_pad], seg_len i32 [nseg_pad], g_total, s_pad)."""
         lens = np.array([len(s) for s in seqs], dtype=np.int64)
         g_total = int(lens.sum())
         s_pad = _bucket_pow2(max(g_total, 1), s_pad_min)
-        buf = np.zeros(s_pad, dtype=np.uint8)
+        u_pad = min(_bucket_mantissa(-(-max(g_total, 1) // 4), 1024),
+                    s_pad // 4)
+        buf = np.zeros(4 * u_pad, dtype=np.uint8)
         at = 0
         for sq in seqs:
             buf[at:at + len(sq)] = sq
@@ -327,26 +353,39 @@ class DeviceCandGen:
         seg_base[:len(seqs)] = np.concatenate(
             ([0], np.cumsum(lens[:-1]))).astype(np.int32)
         seg_len[:len(seqs)] = lens.astype(np.int32)
-        return packed2, fixpos, seg_base, seg_len, g_total
+        return packed2, fixpos, seg_base, seg_len, g_total, s_pad
 
     # --------------------------------------------------------------- query
-    def query(self, seqs: List[np.ndarray], cap: int,
-              return_layout: bool = False):
+    def stage_upload(self, seqs: List[np.ndarray]):
+        """Pack a window batch on host and START its device upload
+        (async device_put).  Callers pipelining several rescores stage
+        all their windows first so the transfers overlap earlier
+        dispatches' device compute instead of serializing with it."""
+        import jax
+
+        packed2, fixpos, seg_base, seg_len, g_total, s_pad = \
+            self.pack_windows(seqs)
+        return (jax.device_put(packed2), jax.device_put(fixpos),
+                seg_base, seg_len, g_total, len(seqs), s_pad)
+
+    def query(self, seqs: List[np.ndarray] = None, cap: int = 0,
+              return_layout: bool = False, staged=None):
         """Dispatch candidate generation for a window batch; returns
         device arrays (codes u8 [s_pad], rid, g0, r0, orient, seg [cap],
         n_total scalar) — fetch n_total to detect cap overflow.  With
         ``return_layout`` also returns the host (seg_base, seg_len)
-        arrays (per-candidate g0 is in local segment coordinates)."""
+        arrays (per-candidate g0 is in local segment coordinates).
+        ``staged``: a stage_upload result to use instead of ``seqs``."""
         import jax.numpy as jnp
 
-        packed2, fixpos, seg_base, seg_len, g_total = \
-            self.pack_windows(seqs)
+        if staged is None:
+            staged = self.stage_upload(seqs)
+        p2d, fxd, seg_base, seg_len, g_total, nseg, s_pad = staged
         out = _candgen(
-            jnp.asarray(packed2), jnp.asarray(fixpos),
-            jnp.asarray(seg_base), jnp.asarray(seg_len),
-            jnp.int32(len(seqs)), jnp.int32(g_total),
+            p2d, fxd, jnp.asarray(seg_base), jnp.asarray(seg_len),
+            jnp.int32(nseg), jnp.int32(g_total),
             self.sf, self.off, self.rids, self.seed2, self.row_of_dev,
-            read_len=self.read_len, cap=cap)
+            read_len=self.read_len, cap=cap, s_pad=s_pad)
         return out + (seg_base, seg_len) if return_layout else out
 
     def query_host(self, seqs: List[np.ndarray], cap: int = 0):

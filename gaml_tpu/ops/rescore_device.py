@@ -254,28 +254,25 @@ class DeviceRescorer:
                 jnp.asarray(block_layout(cap).astype(np.int32)))
         return lay
 
-    def rescore(self, seqs: List[np.ndarray], cap: int, log_match: float,
-                log_mismatch: float, total_len: int,
-                min_prob_per_base: float, min_prob_start: float,
-                use_pallas: bool = None):
+    def stage(self, seqs: List[np.ndarray]):
+        """Start the window batch's device upload (see
+        DeviceCandGen.stage_upload) for a later ``rescore(staged=...)``."""
+        return self.gen.stage_upload(seqs)
+
+    def rescore(self, seqs: List[np.ndarray] = None, cap: int = 0,
+                log_match: float = 0.0, log_mismatch: float = 0.0,
+                total_len: int = 1, min_prob_per_base: float = 0.0,
+                min_prob_start: float = 0.0, use_pallas: bool = None,
+                staged=None):
         """Returns device handles (score, zero_reads, n_total).  The
         result is valid only when int(n_total) <= cap; callers retry
         with a doubled cap otherwise."""
-        import os
-
-        import jax
+        use_pallas, sorted_mode, interp = self._mode(cap, use_pallas)
         import jax.numpy as jnp
 
-        from .extend_pallas import BLOCK_CANDS
-
-        if use_pallas is None:
-            use_pallas = jax.devices()[0].platform not in ("cpu",) and \
-                os.environ.get("GAML_USE_PALLAS", "1") == "1"
-        sorted_mode = bool(use_pallas) and cap % BLOCK_CANDS == 0 and \
-            os.environ.get("GAML_DEV_SORTED", "1") == "1"
-        interp = os.environ.get("GAML_PALLAS_INTERPRET") == "1"
         codes_u8, rid, g0, r0, orient, seg, n_tot, seg_base, seg_len = \
-            self.gen.query(seqs, cap=cap, return_layout=True)
+            self.gen.query(seqs, cap=cap, return_layout=True,
+                           staged=staged)
         lay = self._lay(cap) if sorted_mode else jnp.zeros(1, jnp.int32)
         score, zeros, _probs = _rescore(
             self.ext.fwd_words, self.ext.rc_words, codes_u8, rid, g0, r0,

@@ -62,13 +62,14 @@ def main():
     gen = dev.gen
     cap = 131072
 
-    packed2, fixpos, seg_base, seg_len, g_total = \
+    packed2, fixpos, seg_base, seg_len, g_total, s_pad = \
         DeviceCandGen.pack_windows([genome])
+    packed2 = np.concatenate(
+        [packed2, np.zeros(s_pad // 4 - len(packed2), np.uint8)])
     p2 = jax.device_put(jnp.asarray(packed2))
     fx = jax.device_put(jnp.asarray(fixpos))
     sb = jax.device_put(jnp.asarray(seg_base))
     sl = jax.device_put(jnp.asarray(seg_len))
-    s_pad = packed2.shape[0] * 4
     w = L - K + 1
     rq = max(4096, s_pad // 8)
 
