@@ -152,6 +152,47 @@ def _rescore_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg,
     return score, zero_reads, read_probs
 
 
+_FULL_JIT = None
+
+
+def _rescore_full(*args, **kw):
+    """Single-dispatch rescore: candgen + staging + DP + dedup + score
+    in ONE executable.  On the tunneled setup each dispatch costs up to
+    a full round trip when the relay stops pipelining (measured: the
+    same chained candgen dispatch swings 1.9 ms <-> 44.6 ms with ZERO
+    transfer difference — tools/upload_cost.py), so one dispatch per
+    rescore instead of two halves the weather floor."""
+    global _FULL_JIT
+    if _FULL_JIT is None:
+        import jax
+
+        _FULL_JIT = jax.jit(
+            _rescore_full_impl,
+            static_argnames=("read_len", "cap", "s_pad", "rmax",
+                             "use_pallas", "sorted_mode", "interp"))
+    return _FULL_JIT(*args, **kw)
+
+
+def _rescore_full_impl(packed2, fixpos, seg_base, seg_len, n_seg,
+                       g_total, sf, off, rids, seed2, row_of, fwd_words,
+                       rc_words, lay, read_lens_all, n_reads, log_match,
+                       log_mismatch, total_len, min_prob_per_base,
+                       min_prob_start, read_len: int, cap: int,
+                       s_pad: int, rmax: int, use_pallas: bool,
+                       sorted_mode: bool, interp: bool):
+    from .candgen_device import _candgen_impl
+
+    codes_u8, rid, g0, r0, orient, seg, n_tot = _candgen_impl(
+        packed2, fixpos, seg_base, seg_len, n_seg, g_total, sf, off,
+        rids, seed2, row_of, read_len=read_len, cap=cap, s_pad=s_pad)
+    return _rescore_impl(
+        fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg, n_tot,
+        seg_base, seg_len, row_of, lay, read_lens_all, n_reads,
+        log_match, log_mismatch, total_len, min_prob_per_base,
+        min_prob_start, L=read_len, rmax=rmax, use_pallas=use_pallas,
+        sorted_mode=sorted_mode, interp=interp) + (n_tot,)
+
+
 _EXTEND_JIT = None
 
 
@@ -165,6 +206,41 @@ def _extend_cands(*args, **kw):
             static_argnames=("L", "rmax", "use_pallas", "sorted_mode",
                              "interp"))
     return _EXTEND_JIT(*args, **kw)
+
+
+_EXTEND_FULL_JIT = None
+
+
+def _extend_full(*args, **kw):
+    """Single-dispatch candgen + extension (the aligner batch path's
+    one-round-trip form; see _rescore_full on why dispatch count is the
+    tunnel floor)."""
+    global _EXTEND_FULL_JIT
+    if _EXTEND_FULL_JIT is None:
+        import jax
+
+        _EXTEND_FULL_JIT = jax.jit(
+            _extend_full_impl,
+            static_argnames=("read_len", "cap", "s_pad", "rmax",
+                             "use_pallas", "sorted_mode", "interp"))
+    return _EXTEND_FULL_JIT(*args, **kw)
+
+
+def _extend_full_impl(packed2, fixpos, seg_base, seg_len, n_seg, g_total,
+                      sf, off, rids, seed2, row_of, fwd_words, rc_words,
+                      lay, read_len: int, cap: int, s_pad: int,
+                      rmax: int, use_pallas: bool, sorted_mode: bool,
+                      interp: bool):
+    from .candgen_device import _candgen_impl
+
+    codes_u8, rid, g0, r0, orient, seg, n_tot = _candgen_impl(
+        packed2, fixpos, seg_base, seg_len, n_seg, g_total, sf, off,
+        rids, seed2, row_of, read_len=read_len, cap=cap, s_pad=s_pad)
+    packed, meta = _extend_cands_impl(
+        fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg, n_tot,
+        seg_base, seg_len, row_of, lay, L=read_len, rmax=rmax,
+        use_pallas=use_pallas, sorted_mode=sorted_mode, interp=interp)
+    return packed, meta, n_tot
 
 
 def _extend_cands_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient,
@@ -264,24 +340,28 @@ class DeviceRescorer:
                 total_len: int = 1, min_prob_per_base: float = 0.0,
                 min_prob_start: float = 0.0, use_pallas: bool = None,
                 staged=None):
-        """Returns device handles (score, zero_reads, n_total).  The
-        result is valid only when int(n_total) <= cap; callers retry
-        with a doubled cap otherwise."""
+        """Returns device handles (score, zero_reads, n_total), computed
+        by ONE device dispatch (candgen + DP + dedup + score fused — see
+        _rescore_full).  The result is valid only when
+        int(n_total) <= cap; callers retry with a doubled cap
+        otherwise."""
         use_pallas, sorted_mode, interp = self._mode(cap, use_pallas)
         import jax.numpy as jnp
 
-        codes_u8, rid, g0, r0, orient, seg, n_tot, seg_base, seg_len = \
-            self.gen.query(seqs, cap=cap, return_layout=True,
-                           staged=staged)
+        if staged is None:
+            staged = self.stage(seqs)
+        p2d, fxd, seg_base, seg_len, g_total, nseg, s_pad = staged
         lay = self._lay(cap) if sorted_mode else jnp.zeros(1, jnp.int32)
-        score, zeros, _probs = _rescore(
-            self.ext.fwd_words, self.ext.rc_words, codes_u8, rid, g0, r0,
-            orient, seg, n_tot, jnp.asarray(seg_base),
-            jnp.asarray(seg_len), self.gen.row_of_dev, lay,
-            self.lens_dev, jnp.int32(self.n_reads),
-            jnp.float32(log_match), jnp.float32(log_mismatch),
-            jnp.int32(total_len), jnp.float32(min_prob_per_base),
-            jnp.float32(min_prob_start), L=self.read_len,
+        gen = self.gen
+        score, zeros, _probs, n_tot = _rescore_full(
+            p2d, fxd, jnp.asarray(seg_base), jnp.asarray(seg_len),
+            jnp.int32(nseg), jnp.int32(g_total), gen.sf, gen.off,
+            gen.rids, gen.seed2, gen.row_of_dev, self.ext.fwd_words,
+            self.ext.rc_words, lay, self.lens_dev,
+            jnp.int32(self.n_reads), jnp.float32(log_match),
+            jnp.float32(log_mismatch), jnp.int32(total_len),
+            jnp.float32(min_prob_per_base), jnp.float32(min_prob_start),
+            read_len=self.read_len, cap=cap, s_pad=s_pad,
             rmax=self.ext.rmax, use_pallas=bool(use_pallas),
             sorted_mode=sorted_mode, interp=interp)
         return score, zeros, n_tot
@@ -313,14 +393,16 @@ class DeviceRescorer:
         from .extend_device import unpack_results
 
         use_pallas, sorted_mode, interp = self._mode(cap, use_pallas)
-        codes_u8, rid, g0, r0, orient, seg, n_tot, seg_base, seg_len = \
-            self.gen.query(seqs, cap=cap, return_layout=True)
+        staged = self.gen.stage_upload(seqs)
+        p2d, fxd, seg_base, seg_len, g_total, nseg, s_pad = staged
         lay = self._lay(cap) if sorted_mode else jnp.zeros(1, jnp.int32)
-        packed, meta = _extend_cands(
-            self.ext.fwd_words, self.ext.rc_words, codes_u8, rid, g0, r0,
-            orient, seg, n_tot, jnp.asarray(seg_base),
-            jnp.asarray(seg_len), self.gen.row_of_dev, lay,
-            L=self.read_len, rmax=self.ext.rmax, use_pallas=use_pallas,
+        gen = self.gen
+        packed, meta, n_tot = _extend_full(
+            p2d, fxd, jnp.asarray(seg_base), jnp.asarray(seg_len),
+            jnp.int32(nseg), jnp.int32(g_total), gen.sf, gen.off,
+            gen.rids, gen.seed2, gen.row_of_dev, self.ext.fwd_words,
+            self.ext.rc_words, lay, read_len=self.read_len, cap=cap,
+            s_pad=s_pad, rmax=self.ext.rmax, use_pallas=use_pallas,
             sorted_mode=sorted_mode, interp=interp)
 
         def fetch():
