@@ -274,11 +274,13 @@ def main():
             # stage all windows first (async uploads overlap earlier
             # dispatches' device compute), then chain the rescores; the
             # uploads are INSIDE the timed window — this changes
-            # scheduling, not the bytes shipped per rescore
+            # scheduling, not the bytes shipped per rescore.  All
+            # scores come back in ONE stacked fetch (per-handle floats
+            # would pay one tunnel round trip each).
             t0 = time.time()
             stages = [dev.stage([genome]) for _ in range(iters)]
             handles = [rescore_async(staged=s)[0] for s in stages]
-            _ = [float(h) for h in handles]
+            _ = np.asarray(jnp.stack(handles))
             return (time.time() - t0) / iters
 
         pipe_budget = float(os.environ.get("GAML_BENCH_PIPE_BUDGET",

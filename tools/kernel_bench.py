@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def chain_time(fn, k=7):
+def chain_time(fn, k=12):
     import jax
 
     o = fn()
@@ -46,9 +46,9 @@ def chain_time(fn, k=7):
         jax.device_get(outs[-1])
         return time.perf_counter() - t0
 
-    t1 = min(run(1) for _ in range(3))
-    tk = min(run(k) for _ in range(3))
-    return (tk - t1) / (k - 1)
+    t1 = min(run(1) for _ in range(5))
+    tk = min(run(k) for _ in range(4))
+    return max((tk - t1) / (k - 1), 1e-9)
 
 
 def main():
