@@ -280,28 +280,68 @@ class PacbioReadSet:
         while bkt <= smax:
             warm_seqs.append(np.zeros(bkt - 2, dtype=np.uint8))
             bkt *= 4
-        from ..utils.warmup import mark_ready
+        from ..utils.warmup import mark_ready, register_inflight
 
-        def rung_ready(sq):
+        # resolve the ladder's router keys UP FRONT and claim them for
+        # this (possibly background) prewarm: a concurrent production
+        # batch hitting a cold key must route native, NOT spawn its own
+        # duplicate compile of the same executable (duplicated ladder
+        # compiles saturate the serialized relay — measured 15x early-
+        # move propose inflation before this claim existed)
+        import threading
+
+        from ..ops.forward_device import ForwardDeviceEngine
+
+        mx = max((len(r) for r in self.read_seq), default=128)
+        rmax_cls = ((mx + 127) // 128) * 128
+        if rmax_cls > getattr(self, "_dev_rmax_class", 0):
+            self._dev_rmax_class = rmax_cls
+        engine = self._ensure_fwd_engine(rmax_cls) \
+            if os.environ.get("GAML_PB_RESIDENT", "1") == "1" else None
+        base = ("pb_forward", chunk, rmax_cls)
+        if engine is None:
+            warm_seqs = warm_seqs[:1]
+            keys = [base]
+        else:
+            keys = [base + (ForwardDeviceEngine.seq_bucket(len(sq)),)
+                    for sq in warm_seqs]
+        me = threading.current_thread()
+        for key in keys:
+            register_inflight(key, me)
+
+        done = set()
+
+        def rung_ready(sq, key):
             """Flip this rung's route to the device as soon as its
             executable lands (per-rung, so an async prewarm warms the
             anneal's routes one bucket at a time)."""
             prof = getattr(self, "dp_cells", None)
-            if not (prof and prof.get("pallas")):
-                return
-            base = ("pb_forward", chunk,
-                    getattr(self, "_dev_rmax_class", 0))
-            eng = getattr(self, "_fwd_engine", None)
-            mark_ready(base if eng is None
-                       else base + (eng.seq_bucket(len(sq)),))
+            if prof and prof.get("pallas"):
+                mark_ready(key)
+                done.add(key)
 
         jobs = [(r0, centers, ridx, 0)] * chunk
-        self._forward_batch(seq, jobs, force_device=True)
-        rung_ready(seq)
-        if getattr(self, "_fwd_engine", None) is not None:
-            for sq in warm_seqs[1:]:
-                self._forward_batch(sq, jobs, force_device=True)
-                rung_ready(sq)
+        try:
+            self._forward_batch(seq, jobs, force_device=True)
+            rung_ready(seq, keys[0])
+            if engine is not None:
+                for sq, key in zip(warm_seqs[1:], keys[1:]):
+                    self._forward_batch(sq, jobs, force_device=True)
+                    rung_ready(sq, key)
+        except Exception:
+            # un-compiled rungs stay retryable; a dead claim thread must
+            # not read as warm (device_ready would otherwise promote it)
+            from ..utils.warmup import mark_failed
+
+            for key in keys:
+                if key not in done:
+                    mark_failed(key)
+            raise
+        for key in keys:
+            if key not in done:  # rung served native (e.g. CPU force)
+                from ..utils.warmup import mark_failed
+
+                mark_failed(key, attempts=0)
         if clear_metrics:
             prof = getattr(self, "dp_cells", None)
             if prof is not None:

@@ -43,6 +43,25 @@ def mark_ready(key: Tuple) -> None:
     _STATE[key] = True
 
 
+def mark_failed(key: Tuple, attempts: int = 1) -> None:
+    """Flag ``key`` as failed-but-retryable (a later device_ready call
+    starts a fresh warm attempt)."""
+    _STATE[key] = ("failed", attempts)
+
+
+def register_inflight(key: Tuple, thread) -> None:
+    """Attach ``key`` to an externally managed warm thread (e.g. the
+    PacBio prewarm ladder) so concurrent device_ready callers route
+    native instead of spawning DUPLICATE compiles of the same
+    executable — measured: duplicated ladder compiles saturate the
+    serialized relay and the cores, inflating early-move latency ~15x.
+    No-op if the key is already warm."""
+    if _STATE.get(key) is not True:
+        if not hasattr(thread, "attempt"):
+            thread.attempt = 1
+        _STATE[key] = thread
+
+
 def _start(key: Tuple, warm_fn: Callable[[], None], attempt: int) -> None:
     def run():
         try:
