@@ -127,7 +127,11 @@ def main():
     # kernels, but the layout sorts/gathers still scale with cap)
     cap0 = int(os.environ.get("GAML_BENCH_CAP",
                               str(4096 if SMALL else 98304)))
-    state = {"cap": cap0}
+    # batched mode: BATCH independent rescores per device dispatch (the
+    # production bulk shape; the relay's per-dispatch cost — the
+    # measured floor here — amortizes across the batch)
+    BATCH = int(os.environ.get("GAML_BENCH_BATCH", "4"))
+    state = {"cap": cap0, "bcap": cap0 * BATCH}
 
     def rescore_async(staged=None):
         """Dispatch one FULL rescore; returns (score, zeros, n) device
@@ -137,6 +141,17 @@ def main():
                            log_mismatch=log_mm, total_len=genome_len,
                            min_prob_per_base=-0.7, min_prob_start=-10.0,
                            staged=staged)
+
+    def rescore_batched_async(staged=None):
+        """Dispatch BATCH independent full rescores in ONE device call;
+        returns ([BATCH] scores, [BATCH] zeros, n) handles."""
+        if staged is None:
+            staged = dev.stage([genome] * BATCH)
+        return dev.rescore(
+            cap=state["bcap"], log_match=log_m, log_mismatch=log_mm,
+            total_len=[genome_len] * BATCH, min_prob_per_base=-0.7,
+            min_prob_start=-10.0, staged=staged,
+            seg_job=np.arange(BATCH, dtype=np.int32), n_jobs=BATCH)
 
     def rescore_checked():
         """Blocking rescore with candidate-cap overflow retry."""
@@ -148,6 +163,15 @@ def main():
             while state["cap"] < n:
                 state["cap"] *= 2
 
+    def rescore_batched_checked():
+        while True:
+            s, z, n = rescore_batched_async()
+            n = int(n)
+            if n <= state["bcap"]:
+                return np.asarray(s), np.asarray(z), n
+            while state["bcap"] < n:
+                state["bcap"] *= 2
+
     # ---- background warm-up (compiles both executables server-side)
     # while the host baselines are measured — the production router
     # pattern: the cold compile never blocks the critical path.
@@ -157,6 +181,10 @@ def main():
         t = time.time()
         try:
             warm["result"] = rescore_checked()
+            sb, zb, _nb = rescore_batched_checked()
+            s0, z0, _n0 = warm["result"]
+            assert np.allclose(sb, s0, rtol=1e-5) and (zb == z0).all(), \
+                (sb, s0, zb, z0)  # batched jobs == single rescores
             warm["done"] = True
         except Exception as e:  # wedged tunnel / compile failure
             warm["err"] = e
@@ -288,9 +316,25 @@ def main():
         t_pipe, pipe_times = best_of_windows(pipelined_window,
                                              pipe_budget, n_min=3,
                                              n_max=8)
+
+        def batched_window():
+            nd = max(1, (iters + BATCH - 1) // BATCH)
+            t0 = time.time()
+            stages = [dev.stage([genome] * BATCH) for _ in range(nd)]
+            handles = [rescore_batched_async(staged=s)[0]
+                       for s in stages]
+            _ = np.asarray(jnp.stack(handles))
+            return (time.time() - t0) / (nd * BATCH)
+
+        t_batch, batch_times = best_of_windows(batched_window,
+                                               pipe_budget, n_min=3,
+                                               n_max=8)
         if trace_dir:
             jax.profiler.stop_trace()
-        reads_per_s = n_reads / t_pipe
+        # headline: the better of the two production dispatch shapes
+        # (per-move latency pipeline vs bulk batched dispatches); both
+        # are full rescores with every phase counted
+        reads_per_s = n_reads / min(t_pipe, t_batch)
         route = "device"
     else:
         # tunnel wedged or compile never finished: report the
@@ -298,8 +342,8 @@ def main():
         score, zeros, n_cands = float("nan"), -1, -1
         probe_ms = float("nan")
         t_warm = float("nan")
-        pipe_times = []
-        t_pipe = host_par_dt
+        pipe_times, batch_times = [], []
+        t_pipe = t_batch = host_par_dt
         reads_per_s = host_reads_per_s
         route = "host-fallback"
 
@@ -321,7 +365,9 @@ def main():
           f"probe_ms={probe_ms:.1f} "
           f"t_warm_median={t_warm * 1000:.0f}ms "
           f"t_pipelined={t_pipe * 1000:.0f}ms "
+          f"t_batched={t_batch * 1000:.1f}ms/rescore (batch={BATCH}) "
           f"pipe_windows_ms={[round(t * 1000) for t in pipe_times]} "
+          f"batch_windows_ms={[round(t * 1000, 1) for t in batch_times]} "
           f"host_serial={host_serial_rps:.0f} r/s "
           f"(best of {len(host_times)}) "
           f"host_parallel={host_reads_per_s:.0f} r/s "

@@ -43,7 +43,7 @@ def _rescore(*args, **kw):
         _RESCORE_JIT = jax.jit(
             _rescore_impl,
             static_argnames=("L", "rmax", "use_pallas", "sorted_mode",
-                             "interp"))
+                             "interp", "n_jobs"))
     return _RESCORE_JIT(*args, **kw)
 
 
@@ -73,7 +73,15 @@ def _rescore_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg,
                   n_tot, seg_base, seg_len, row_of, lay, read_lens_all,
                   n_reads, log_match, log_mismatch, total_len,
                   min_prob_per_base, min_prob_start, L: int, rmax: int,
-                  use_pallas: bool, sorted_mode: bool, interp: bool):
+                  use_pallas: bool, sorted_mode: bool, interp: bool,
+                  seg_job=None, n_jobs: int = 1):
+    """Candidates -> assembly score(s).  ``seg_job`` maps each window
+    segment to a scoring JOB (default: all segments are one assembly —
+    the walk-set semantic); with k jobs, k INDEPENDENT rescores run in
+    this single dispatch and score/zero_reads come back as [n_jobs]
+    vectors (``total_len`` is then a [n_jobs] vector too).  Batching
+    independent rescores amortizes the relay's per-dispatch cost — the
+    dominant term on the tunneled setup."""
     import jax
     import jax.numpy as jnp
 
@@ -133,22 +141,32 @@ def _rescore_impl(fwd_words, rc_words, codes_u8, rid, g0, r0, orient, seg,
     p = jnp.exp(errs_s * log_mismatch + (rlen_s - errs_s) * log_match)
     p = jnp.where(keep, p, 0.0)
     n_rows_pad = read_lens_all.shape[0]
+    if seg_job is None:
+        jobk = jnp.zeros_like(ridk)
+    else:
+        # dedup key1 packs (seg << 20 | rid); recover each kept row's
+        # segment and map it to its job
+        jobk = seg_job[jnp.clip(k1s >> 20, 0, seg_job.shape[0] - 1)]
+    bins = jnp.where(keep, jobk * n_rows_pad + ridk,
+                     n_jobs * n_rows_pad)
     read_probs = jax.ops.segment_sum(
-        p, jnp.where(keep, ridk, n_rows_pad),
-        num_segments=n_rows_pad + 1)[:-1]
+        p, bins, num_segments=n_jobs * n_rows_pad + 1)[:-1].reshape(
+        n_jobs, n_rows_pad)
 
     # GetTotalProb (graph.cc:1518-1537) over the PADDED read axis: pad
     # rows are masked out of both the floor count and the mean
-    live = jnp.arange(n_rows_pad) < n_reads
-    tl = jnp.maximum(total_len, 1)
+    live = (jnp.arange(n_rows_pad) < n_reads)[None, :]
+    tl = jnp.maximum(total_len, 1).reshape(-1, 1).astype(jnp.float32)
     probs = read_probs / (2.0 * tl)
     thresholds = jnp.exp(min_prob_start + min_prob_per_base
-                         * read_lens_all)
+                         * read_lens_all)[None, :]
     floored = live & (probs < thresholds)
-    zero_reads = jnp.sum(floored.astype(jnp.int32))
+    zero_reads = jnp.sum(floored.astype(jnp.int32), axis=1)
     probs = jnp.where(floored, thresholds, probs)
-    score = jnp.sum(jnp.where(live, jnp.log(probs), 0.0)) \
+    score = jnp.sum(jnp.where(live, jnp.log(probs), 0.0), axis=1) \
         / jnp.maximum(n_reads, 1)
+    if seg_job is None:
+        return score[0], zero_reads[0], read_probs[0]
     return score, zero_reads, read_probs
 
 
@@ -169,7 +187,8 @@ def _rescore_full(*args, **kw):
         _FULL_JIT = jax.jit(
             _rescore_full_impl,
             static_argnames=("read_len", "cap", "s_pad", "rmax",
-                             "use_pallas", "sorted_mode", "interp"))
+                             "use_pallas", "sorted_mode", "interp",
+                             "n_jobs"))
     return _FULL_JIT(*args, **kw)
 
 
@@ -179,7 +198,8 @@ def _rescore_full_impl(packed2, fixpos, seg_base, seg_len, n_seg,
                        log_mismatch, total_len, min_prob_per_base,
                        min_prob_start, read_len: int, cap: int,
                        s_pad: int, rmax: int, use_pallas: bool,
-                       sorted_mode: bool, interp: bool):
+                       sorted_mode: bool, interp: bool, seg_job=None,
+                       n_jobs: int = 1):
     from .candgen_device import _candgen_impl
 
     codes_u8, rid, g0, r0, orient, seg, n_tot = _candgen_impl(
@@ -190,7 +210,8 @@ def _rescore_full_impl(packed2, fixpos, seg_base, seg_len, n_seg,
         seg_base, seg_len, row_of, lay, read_lens_all, n_reads,
         log_match, log_mismatch, total_len, min_prob_per_base,
         min_prob_start, L=read_len, rmax=rmax, use_pallas=use_pallas,
-        sorted_mode=sorted_mode, interp=interp) + (n_tot,)
+        sorted_mode=sorted_mode, interp=interp, seg_job=seg_job,
+        n_jobs=n_jobs) + (n_tot,)
 
 
 _EXTEND_JIT = None
@@ -337,14 +358,20 @@ class DeviceRescorer:
 
     def rescore(self, seqs: List[np.ndarray] = None, cap: int = 0,
                 log_match: float = 0.0, log_mismatch: float = 0.0,
-                total_len: int = 1, min_prob_per_base: float = 0.0,
+                total_len=1, min_prob_per_base: float = 0.0,
                 min_prob_start: float = 0.0, use_pallas: bool = None,
-                staged=None):
+                staged=None, seg_job: np.ndarray = None,
+                n_jobs: int = 1):
         """Returns device handles (score, zero_reads, n_total), computed
         by ONE device dispatch (candgen + DP + dedup + score fused — see
         _rescore_full).  The result is valid only when
-        int(n_total) <= cap; callers retry with a doubled cap
-        otherwise."""
+        int(n_total) <= cap; callers retry with a doubled cap otherwise.
+
+        ``seg_job`` + ``n_jobs``: score k INDEPENDENT assemblies in
+        this one dispatch (seg_job [nseg_pad] maps window segments to
+        jobs; total_len becomes a [n_jobs] vector; score/zeros come
+        back as [n_jobs] arrays) — the relay's per-dispatch cost then
+        amortizes across the batch."""
         use_pallas, sorted_mode, interp = self._mode(cap, use_pallas)
         import jax.numpy as jnp
 
@@ -353,17 +380,25 @@ class DeviceRescorer:
         p2d, fxd, seg_base, seg_len, g_total, nseg, s_pad = staged
         lay = self._lay(cap) if sorted_mode else jnp.zeros(1, jnp.int32)
         gen = self.gen
+        if seg_job is not None:
+            sj = np.zeros(len(seg_base), np.int32)
+            sj[:len(seg_job)] = seg_job
+            seg_job = jnp.asarray(sj)
+            tl = jnp.asarray(np.asarray(total_len, np.int32).reshape(-1))
+        else:
+            tl = jnp.int32(total_len)
         score, zeros, _probs, n_tot = _rescore_full(
             p2d, fxd, jnp.asarray(seg_base), jnp.asarray(seg_len),
             jnp.int32(nseg), jnp.int32(g_total), gen.sf, gen.off,
             gen.rids, gen.seed2, gen.row_of_dev, self.ext.fwd_words,
             self.ext.rc_words, lay, self.lens_dev,
             jnp.int32(self.n_reads), jnp.float32(log_match),
-            jnp.float32(log_mismatch), jnp.int32(total_len),
+            jnp.float32(log_mismatch), tl,
             jnp.float32(min_prob_per_base), jnp.float32(min_prob_start),
             read_len=self.read_len, cap=cap, s_pad=s_pad,
             rmax=self.ext.rmax, use_pallas=bool(use_pallas),
-            sorted_mode=sorted_mode, interp=interp)
+            sorted_mode=sorted_mode, interp=interp, seg_job=seg_job,
+            n_jobs=n_jobs)
         return score, zeros, n_tot
 
     def _mode(self, cap: int, use_pallas):

@@ -102,6 +102,31 @@ def test_sorted_pallas_path_matches(monkeypatch):
     np.testing.assert_allclose(float(s_pal), float(s_ref), rtol=2e-6)
 
 
+def test_batched_jobs_match_single_rescores():
+    """k independent assemblies scored in ONE dispatch (seg_job
+    grouping) must match k separate rescores."""
+    genome, reads = sample_world(seed=31, genome_len=2500, n_reads=250)
+    bundle = make_bundle(reads)
+    dev = DeviceRescorer(bundle)
+    w1, w2, w3 = genome[:1200], genome[900:2100], genome[1800:]
+    args = dict(cap=8192, log_match=MATCH, log_mismatch=MISMATCH,
+                min_prob_per_base=MPB, min_prob_start=MPS)
+    singles = []
+    for w in ((w1,), (w2, w3)):
+        tl = sum(len(x) for x in w)
+        s, z, n = dev.rescore(list(w), total_len=tl, **args)
+        assert int(n) <= 8192
+        singles.append((float(s), int(z)))
+    sb, zb, nb = dev.rescore(
+        [w1, w2, w3], seg_job=np.array([0, 1, 1], np.int32), n_jobs=2,
+        total_len=[len(w1), len(w2) + len(w3)], **args)
+    assert int(nb) <= 8192
+    sb, zb = np.asarray(sb), np.asarray(zb)
+    for j, (s, z) in enumerate(singles):
+        assert int(zb[j]) == z
+        np.testing.assert_allclose(float(sb[j]), s, rtol=2e-6)
+
+
 def test_overflow_detectable():
     genome, reads = sample_world(seed=2, genome_len=2000, n_reads=200)
     bundle = make_bundle(reads)
