@@ -128,10 +128,13 @@ def main():
     cap0 = int(os.environ.get("GAML_BENCH_CAP",
                               str(4096 if SMALL else 98304)))
     # batched mode: BATCH independent rescores per device dispatch (the
-    # production bulk shape; the relay's per-dispatch cost — the
-    # measured floor here — amortizes across the batch)
-    BATCH = int(os.environ.get("GAML_BENCH_BATCH", "4"))
-    state = {"cap": cap0, "bcap": cap0 * BATCH}
+    # production bulk shape).  Opt-in: it wins when the relay's
+    # per-dispatch cost dominates (small worlds: 9.6 vs 12 ms/rescore)
+    # but at bench scale the batched executable's compute grows
+    # super-linearly (sorts) and loses to the pipelined singles
+    # (84.8 vs 74 ms measured) while adding background compile time.
+    BATCH = int(os.environ.get("GAML_BENCH_BATCH", "0"))
+    state = {"cap": cap0, "bcap": cap0 * max(BATCH, 1)}
 
     def rescore_async(staged=None):
         """Dispatch one FULL rescore; returns (score, zeros, n) device
@@ -181,10 +184,11 @@ def main():
         t = time.time()
         try:
             warm["result"] = rescore_checked()
-            sb, zb, _nb = rescore_batched_checked()
-            s0, z0, _n0 = warm["result"]
-            assert np.allclose(sb, s0, rtol=1e-5) and (zb == z0).all(), \
-                (sb, s0, zb, z0)  # batched jobs == single rescores
+            if BATCH > 0:
+                sb, zb, _nb = rescore_batched_checked()
+                s0, z0, _n0 = warm["result"]
+                assert np.allclose(sb, s0, rtol=1e-5) and \
+                    (zb == z0).all(), (sb, s0, zb, z0)
             warm["done"] = True
         except Exception as e:  # wedged tunnel / compile failure
             warm["err"] = e
@@ -326,9 +330,12 @@ def main():
             _ = np.asarray(jnp.stack(handles))
             return (time.time() - t0) / (nd * BATCH)
 
-        t_batch, batch_times = best_of_windows(batched_window,
-                                               pipe_budget, n_min=3,
-                                               n_max=8)
+        if BATCH > 0:
+            t_batch, batch_times = best_of_windows(batched_window,
+                                                   pipe_budget, n_min=3,
+                                                   n_max=8)
+        else:
+            t_batch, batch_times = t_pipe, []
         if trace_dir:
             jax.profiler.stop_trace()
         # headline: the better of the two production dispatch shapes
