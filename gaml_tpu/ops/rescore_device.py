@@ -49,10 +49,12 @@ def _rescore(*args, **kw):
 
 def _stage_layout(r0f, g0f, lay, L, cap):
     """Sorted-dynamic kernel layout as ONE gather-index array: a
-    two-operand stable argsort by r0 composed with the host block
-    permutation.  Returns (gidx [cap] — kernel slot -> original
-    candidate —, nrows_f, nrows_b).  Replaces the round-5.0 ten-operand
-    lax.sort (multi-operand sorts dominated the rescore wall)."""
+    stable COUNTING sort by r0 (r0 has <= 256 distinct values — seed
+    positions within a read — so the O(n log^2 n) comparison sort the
+    TPU would otherwise run is pure waste; the sorts were the
+    super-linear term that made batched dispatches lose) composed with
+    the host block permutation.  Returns (gidx [cap] — kernel slot ->
+    original candidate —, nrows_f, nrows_b)."""
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +62,19 @@ def _stage_layout(r0f, g0f, lay, L, cap):
     from .extend_pallas import BLOCK_CANDS
 
     iota = jnp.arange(cap, dtype=jnp.int32)
-    r0s, order = jax.lax.sort((r0f, iota), num_keys=1, is_stable=True)
+    nbins = max(L - K + 1, 1)  # r0 in [0, L-K]; pad fill = L-K
+    keys = jnp.clip(r0f, 0, nbins - 1)
+    hist = jnp.zeros(nbins, jnp.int32).at[keys].add(1)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(hist)[:-1]])
+    # stable rank within each key: running count along the candidate
+    # axis (one [nbins, cap] cumsum — bandwidth, no comparisons)
+    oh = (keys[None, :] == jnp.arange(nbins, dtype=jnp.int32)[:, None])
+    cum = jnp.cumsum(oh.astype(jnp.int32), axis=1)
+    rank = cum.reshape(-1)[keys * cap + iota] - 1
+    pos = offs[keys] + rank          # element j lands at sorted slot pos
+    order = jnp.zeros(cap, jnp.int32).at[pos].set(iota)
+    r0s = jnp.zeros(cap, jnp.int32).at[pos].set(keys)
     nb = cap // BLOCK_CANDS
     rf = jnp.maximum(L - K - r0s, 0)
     rb = jnp.where(g0f[order] > 0, r0s, 0)
