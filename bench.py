@@ -238,7 +238,7 @@ def main():
     # fish out the shared box's rare idle moments and bias the bar.
     BENCH_WINDOWS = int(os.environ.get("GAML_BENCH_WINDOWS", "8"))
     host_budget = float(os.environ.get("GAML_BENCH_HOST_BUDGET", "25"))
-    warm_budget = float(os.environ.get("GAML_BENCH_WARM_BUDGET", "900"))
+    warm_budget = float(os.environ.get("GAML_BENCH_WARM_BUDGET", "780"))
     host_times, host_par_times = [], []
     t_host0 = time.time()
     while True:
